@@ -1,0 +1,80 @@
+"""Torch-checkpoint ↔ flax-params conversion.
+
+Converts a reference-style PyTorch ``state_dict`` (reference: src/main.py:65-66
+loads ``best_vqvae.ckpt['state_dict']``) into the flax param tree of
+msla_tpu.nn.vqvae_net.VQVAENet, so pretrained reference checkpoints and parity
+tests map 1:1. Weight layout conventions:
+
+* torch Conv1d weight (out, in, k)          → flax Conv kernel (k, in, out)
+* torch ConvTranspose1d weight (in, out, k) → flax ConvTranspose
+  (transpose_kernel=True) kernel (k, out, in)
+* torch Linear weight (out, in)             → flax Dense kernel (in, out)
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _np(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def conv_kernel(w: Any) -> np.ndarray:
+    return _np(w).transpose(2, 1, 0)  # (out,in,k) -> (k,in,out)
+
+
+def conv_transpose_kernel(w: Any) -> np.ndarray:
+    return _np(w).transpose(2, 1, 0)  # (in,out,k) -> (k,out,in)
+
+
+def linear_kernel(w: Any) -> np.ndarray:
+    return _np(w).transpose(1, 0)  # (out,in) -> (in,out)
+
+
+def _residual_stack(sd: Mapping[str, Any], prefix: str, num_layers: int) -> dict:
+    out = {}
+    for i in range(num_layers):
+        # reference Sequential: [ReLU, Conv k3, ReLU, Conv k1] → indices 1 and 3
+        out[f"block{i}_conv3"] = {"conv": {"kernel": conv_kernel(
+            sd[f"{prefix}.residual_layers.{i}.1.weight"])}}
+        out[f"block{i}_conv1"] = {"conv": {"kernel": conv_kernel(
+            sd[f"{prefix}.residual_layers.{i}.3.weight"])}}
+    return out
+
+
+def _conv(sd: Mapping[str, Any], key: str) -> dict:
+    entry = {"kernel": conv_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        entry["bias"] = _np(sd[f"{key}.bias"])
+    return {"conv": entry}
+
+
+def _conv_t(sd: Mapping[str, Any], key: str) -> dict:
+    entry = {"kernel": conv_transpose_kernel(sd[f"{key}.weight"])}
+    if f"{key}.bias" in sd:
+        entry["bias"] = _np(sd[f"{key}.bias"])
+    return {"conv": entry}
+
+
+def vqvae_params_from_torch(sd: Mapping[str, Any], num_residual_layer: int) -> dict:
+    """Reference VQVAE state_dict → VQVAENet params tree."""
+    return {
+        "encoder": {
+            "conv1": _conv(sd, "encoder.conv1"),
+            "conv2": _conv(sd, "encoder.conv2"),
+            "conv3": _conv(sd, "encoder.conv3"),
+            "residual_stack": _residual_stack(sd, "encoder.residual_stack", num_residual_layer),
+        },
+        "pre_vq_conv": _conv(sd, "conv"),
+        "vector_quantizer": {"codebook": _np(sd["vector_quantizer.codebook.weight"])},
+        "decoder": {
+            "conv1": _conv(sd, "decoder.conv1"),
+            "residual_stack": _residual_stack(sd, "decoder.residual_stack", num_residual_layer),
+            "conv1_transpose": _conv_t(sd, "decoder.conv1_transpose"),
+            "conv2_transpose": _conv_t(sd, "decoder.conv2_transpose"),
+        },
+    }

@@ -6,11 +6,18 @@ reference's absent multi-node tests).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("PROJECT_ROOT", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize force-selects the TPU platform via jax.config at
+# interpreter start; env vars alone don't win. Reset to CPU before any
+# backend initialization so tests run on the virtual 8-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
