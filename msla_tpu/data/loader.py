@@ -1,0 +1,74 @@
+"""Minimal high-throughput batcher (replaces torch DataLoader — reference:
+src/data/datamodule.py:76-110).
+
+Since dataset frames are views into in-memory cached track arrays, batching is
+a single fancy-index gather per batch — no worker processes needed. An
+optional background thread double-buffers batch assembly behind device
+compute (num_workers > 0), which is the right shape for a host with few cores
+feeding one TPU chip.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, num_workers: int = 0, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = int(num_workers)
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = []
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                continue
+            batches.append(idx)
+        return batches
+
+    def _assemble(self, idx: np.ndarray) -> np.ndarray:
+        return np.stack([self.dataset[int(i)] for i in idx])
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        self._epoch += 1
+        batches = self._batch_indices()
+        if self.num_workers <= 0:
+            for idx in batches:
+                yield self._assemble(idx)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        stop = object()
+
+        def producer():
+            for idx in batches:
+                q.put(self._assemble(idx))
+            q.put(stop)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        thread.join()
