@@ -1,0 +1,246 @@
+"""CLI entry + task router (reference: src/main.py:214-241).
+
+Same surface as the reference: composes configs/train.yaml, dispatches on the
+train_vqvae / train_transformer / train_bert flags, always attempts
+generation + visualization afterwards (gated on checkpoint availability —
+the reference crashes for vqvae-only runs, SURVEY.md §2 quirk 5), and returns
+`optimized_metric` for hyper-parameter sweeps.
+
+Usage:
+    python main.py train_vqvae=True
+    python main.py debug=default train_vqvae=True
+    python main.py -m hparams_search=optuna train_vqvae=True
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from msla_tpu.config import ConfigNode, compose, instantiate, setup_job_logging, setup_root, setup_run_dir
+from msla_tpu.utils.pylogger import RankedLogger
+from msla_tpu.utils.util import extras, get_metric_value, task_wrapper
+
+PROJECT_ROOT = setup_root(__file__, indicator=".project-root")
+CONFIG_DIR = PROJECT_ROOT / "configs"
+
+log = RankedLogger(__name__, rank_zero_only=True)
+
+
+def seed_everything(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _make_trainer(cfg: ConfigNode, callbacks, logger, **overrides):
+    return instantiate(cfg.trainer, callbacks=callbacks, logger=logger,
+                       seed=cfg.get("seed") or 0, **overrides)
+
+
+def _load_vqvae_teacher(cfg: ConfigNode):
+    """Load the frozen best VQ-VAE for second-stage training
+    (reference: src/main.py:62-70)."""
+    import jax
+
+    from msla_tpu.data.transform import Quantize
+    from msla_tpu.train.checkpoint import restore_params
+
+    vqvae = instantiate(cfg.model.vqvae)
+    best_vqvae_file = f"{cfg.paths.best_checkpoint_dir}/best_vqvae.ckpt"
+    assert os.path.exists(best_vqvae_file), f"missing {best_vqvae_file}"
+    params = restore_params(best_vqvae_file)
+    quantizer = Quantize(vqvae.net, {"params": params})
+    return vqvae, params, quantizer
+
+
+@task_wrapper
+def train_vqvae(cfg: ConfigNode):
+    from msla_tpu.utils.instantiators import instantiate_callbacks, instantiate_loggers
+
+    data_module = instantiate(cfg.data)
+    vqvae = instantiate(cfg.model.vqvae)
+    logger = instantiate_loggers(cfg.get("logger"))
+    callbacks = instantiate_callbacks(cfg.get("callbacks"))
+    trainer = _make_trainer(cfg, callbacks, logger)
+
+    object_dict = {"cfg": cfg, "datamodule": data_module, "model": vqvae,
+                   "callbacks": callbacks, "logger": logger, "trainer": trainer}
+
+    if cfg.train:
+        trainer.fit(vqvae, data_module, ckpt_path=cfg.get("ckpt_path"))
+    train_metrics = dict(trainer.callback_metrics)
+    if cfg.test:
+        trainer.test(vqvae, data_module, ckpt_path=cfg.get("ckpt_path"))
+    test_metrics = dict(trainer.callback_metrics)
+    return {**train_metrics, **test_metrics}, object_dict
+
+
+@task_wrapper
+def train_transformer(cfg: ConfigNode):
+    from msla_tpu.utils.instantiators import instantiate_loggers
+
+    _, _, quantizer = _load_vqvae_teacher(cfg)
+    # transformer consumes quantized latents (SURVEY.md §2 quirk 2: the model's
+    # shapes expect latents even though the committed data hook emits indices)
+    data_module = instantiate(cfg.data, quantizer=quantizer, quantized_latents=True)
+    transformer = instantiate(cfg.model.transformer)
+    logger = instantiate_loggers(cfg.get("logger"))
+
+    callbacks = None
+    if cfg.get("callbacks") is not None:
+        callbacks = [instantiate(cfg.callbacks.model_checkpoint, filename="best_transformer"),
+                     instantiate(cfg.callbacks.early_stopping)]
+    trainer = _make_trainer(cfg, callbacks, logger)
+
+    object_dict = {"cfg": cfg, "datamodule": data_module, "model": transformer,
+                   "callbacks": callbacks, "logger": logger, "trainer": trainer}
+    if cfg.train:
+        trainer.fit(transformer, data_module, ckpt_path=cfg.get("ckpt_path"))
+    train_metrics = dict(trainer.callback_metrics)
+    if cfg.test:
+        trainer.test(transformer, data_module, ckpt_path=cfg.get("ckpt_path"))
+    test_metrics = dict(trainer.callback_metrics)
+    return {**train_metrics, **test_metrics}, object_dict
+
+
+@task_wrapper
+def train_bert(cfg: ConfigNode):
+    from msla_tpu.utils.instantiators import instantiate_loggers
+
+    _, _, quantizer = _load_vqvae_teacher(cfg)
+    data_module = instantiate(cfg.data, quantizer=quantizer)  # codebook indices
+    bert = instantiate(cfg.model.bert)
+    logger = instantiate_loggers(cfg.get("logger"))
+
+    callbacks = None
+    if cfg.get("callbacks") is not None:
+        callbacks = [instantiate(cfg.callbacks.model_checkpoint, filename="best_bert"),
+                     instantiate(cfg.callbacks.early_stopping)]
+    # trainer override: max_epochs=3, min_epochs=1 (reference: main.py:139-143)
+    trainer = _make_trainer(cfg, callbacks, logger, max_epochs=3, min_epochs=1)
+
+    object_dict = {"cfg": cfg, "datamodule": data_module, "model": bert,
+                   "callbacks": callbacks, "logger": logger, "trainer": trainer}
+    if cfg.train:
+        trainer.fit(bert, data_module, ckpt_path=cfg.get("ckpt_path"))
+    train_metrics = dict(trainer.callback_metrics)
+    if cfg.test:
+        trainer.test(bert, data_module, ckpt_path=cfg.get("ckpt_path"))
+    test_metrics = dict(trainer.callback_metrics)
+    return {**train_metrics, **test_metrics}, object_dict
+
+
+def visualize(cfg: ConfigNode) -> None:
+    """Plot suite on one predict sample (reference: src/main.py:166-181)."""
+    import jax.numpy as jnp
+
+    from msla_tpu.utils.plotting import (plot_codebook, plot_embeddings_from_quantized,
+                                         plot_spectrogram, plot_waveform)
+
+    codebook_file = Path(str(cfg.paths.codebook_file))
+    best_vqvae = Path(f"{cfg.paths.best_checkpoint_dir}/best_vqvae.ckpt")
+    if not codebook_file.exists() or not best_vqvae.exists():
+        log.warning("visualize: skipping (codebook.csv or best_vqvae.ckpt missing)")
+        return
+
+    data_module = instantiate(cfg.data, batch_size=1, masking=False)
+    instruments = np.asarray(next(iter(data_module.predict_dataloader())))  # (1, 4, T)
+    mixed = instruments.squeeze(0).sum(axis=0).reshape(1, 1, -1)
+
+    plot_embeddings_from_quantized(cfg, batch=(jnp.asarray(mixed), jnp.asarray(instruments)))
+    plot_codebook(cfg)
+
+    sr = int(cfg.data.target_sample_rate)
+    for idx, name in enumerate(["bass", "drums", "guitar", "piano"]):
+        plot_spectrogram(instruments[:, idx, :], plot_dir=str(cfg.paths.plot_dir),
+                         sample_rate=sr, title=name)
+        plot_waveform(instruments[:, idx, :], plot_dir=str(cfg.paths.plot_dir),
+                      sample_rate=sr, title=name)
+    plot_spectrogram(mixed.squeeze(0), plot_dir=str(cfg.paths.plot_dir), sample_rate=sr,
+                     title="song")
+    plot_waveform(mixed.squeeze(0), plot_dir=str(cfg.paths.plot_dir), sample_rate=sr,
+                  title="song")
+
+
+def generate(cfg: ConfigNode) -> None:
+    """BERT-driven audio generation (reference: src/main.py:184-211):
+    corrupt one random stem with noise, quantize through the frozen VQ-VAE,
+    reconstruct through BERT, save both WAVs."""
+    import jax.numpy as jnp
+
+    from msla_tpu.data.wavio import write_wav
+    from msla_tpu.train.checkpoint import restore_params
+
+    best_dir = Path(str(cfg.paths.best_checkpoint_dir))
+    if not (best_dir / "best_bert.ckpt").exists() or not (best_dir / "best_vqvae.ckpt").exists():
+        log.warning("generate: skipping (best_bert.ckpt or best_vqvae.ckpt missing)")
+        return
+
+    data_module = instantiate(cfg.data, batch_size=1, masking=False)
+    instruments = np.asarray(next(iter(data_module.predict_dataloader())))  # (1, 4, T)
+
+    bert = instantiate(cfg.model.bert)
+    bert_params = restore_params(best_dir / "best_bert.ckpt")
+    vqvae = instantiate(cfg.model.vqvae)
+    vqvae_params = restore_params(best_dir / "best_vqvae.ckpt")
+
+    idx = random.randint(0, 3)
+    rng = np.random.default_rng()
+    instruments = instruments.copy()
+    instruments[:, idx, :] = rng.random(instruments.shape[-1], dtype=np.float32)
+
+    q = vqvae.get_quantized(vqvae_params, jnp.asarray(instruments))
+    output = bert.predict_step(bert_params, (q.encoding_indices, jnp.asarray(instruments)))
+
+    ckpt_dir = Path(str(cfg.paths.checkpoint_dir))
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    sr = int(cfg.data.target_sample_rate)
+    write_wav(ckpt_dir / "random_instrument.wav", instruments[:, idx, :], sr)
+    write_wav(ckpt_dir / "bert_generated_during_evaluation.wav",
+              np.asarray(output)[:, idx, :], sr)
+
+
+def run(cfg: ConfigNode) -> float | None:
+    """One composed-config run (the body of @hydra.main — reference: main.py:215-236)."""
+    extras(cfg)
+    if cfg.get("seed") is not None:
+        seed_everything(int(cfg.seed))
+
+    metric_dict: dict = {}
+    if cfg.train_vqvae:
+        metric_dict, _ = train_vqvae(cfg)
+    if cfg.train_transformer:
+        metric_dict, _ = train_transformer(cfg)
+    if cfg.train_bert:
+        metric_dict, _ = train_bert(cfg)
+
+    generate(cfg)
+    visualize(cfg)
+
+    return get_metric_value(metric_dict=metric_dict, metric_name=cfg.get("optimized_metric"))
+
+
+def main(argv: list[str] | None = None) -> float | None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        if flag in argv:
+            multirun = True
+            argv.remove(flag)
+
+    cfg = compose(CONFIG_DIR, "train", argv)
+    if multirun or str(cfg.select("hydra.mode", "")) == "MULTIRUN":
+        from msla_tpu.sweep.sweeper import run_sweep
+
+        return run_sweep(CONFIG_DIR, "train", argv, run)
+
+    setup_run_dir(cfg)
+    setup_job_logging(cfg, str(cfg.task_name))
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

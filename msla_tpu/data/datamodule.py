@@ -90,6 +90,15 @@ class SlakhDataModule:
                           num_workers=self.num_workers, seed=self.seed)
 
     # ---- device-side batch transform (jittable) ----------------------------
+    def train_transform(self, batch: jax.Array, rng: jax.Array) -> jax.Array:
+        """Train-only masking augmentation, applied inside the jitted step
+        (the reference applies it per-item on the CPU — dataset.py:42-49)."""
+        if not self.masking:
+            return batch
+        from msla_tpu.data.augment import masking_augment
+
+        return masking_augment(batch, rng)
+
     def on_after_batch_transfer(self, batch: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """(B, 4, T) stems → (model_input, target_stems), on device, inside jit.
 

@@ -1,0 +1,64 @@
+"""Multi-head attention matching torch.nn.MultiheadAttention semantics
+(packed in-proj; used by the reference via nn.TransformerDecoderLayer —
+reference: src/model/transformer.py:36-37).
+
+Batch-first (B, S, E) layout. The attention math runs on the MXU as three
+batched matmuls; seq lengths here are tiny (64 latent-channel tokens), so no
+flash-style tiling is needed — XLA fuses the softmax chain.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from msla_tpu.nn.layers import torch_bias_init, torch_kernel_init
+
+
+class MultiHeadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
+                 mask: jax.Array | None = None, deterministic: bool = True) -> jax.Array:
+        e, h = self.embed_dim, self.num_heads
+        head_dim = e // h
+        b, s_q, _ = query.shape
+        s_k = key.shape[1]
+
+        # torch packs q/k/v projections into one (3E, E) in_proj — we keep
+        # three Dense layers; utils.torch_compat slices the packed weight.
+        q = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
+                     name="q_proj")(query)
+        k = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
+                     name="k_proj")(key)
+        v = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
+                     name="v_proj")(value)
+
+        q = q.reshape(b, s_q, h, head_dim).transpose(0, 2, 1, 3)  # (B,H,S,hd)
+        k = k.reshape(b, s_k, h, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s_k, h, head_dim).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(head_dim).astype(q.dtype)
+        if mask is not None:
+            scores = scores + mask  # additive mask (-inf on disallowed)
+        weights = jax.nn.softmax(scores, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(self.dropout, name="attn_drop")(
+                weights, deterministic=False)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s_q, e)
+        return nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
+                        name="out_proj")(out)
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Additive causal mask (reference: generate_square_subsequent_mask,
+    transformer.py:71)."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype), k=1)
+    return mask[None, None]  # (1, 1, S, S)

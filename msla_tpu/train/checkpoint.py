@@ -1,0 +1,57 @@
+"""Single-file checkpoints (.ckpt) via flax msgpack serialization.
+
+Mirrors the reference's Lightning checkpoint surface (reference:
+src/main.py:63-66 loads `best_vqvae.ckpt['state_dict']`): each checkpoint is
+one file holding a dict with `state_dict` (params), optimizer state, epoch,
+global step and hparams, so cross-stage handoff paths
+(best_vqvae.ckpt → transformer/bert training) map 1:1.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    # to_state_dict flattens NamedTuple/dataclass pytrees (e.g. optax states)
+    # into nested dicts msgpack can serialize
+    tree = serialization.to_state_dict(tree)
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
+                    epoch: int = 0, global_step: int = 0,
+                    hparams: dict | None = None,
+                    callback_metrics: dict | None = None) -> None:
+    payload = {
+        "state_dict": _to_numpy_tree(params),
+        "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
+        "epoch": epoch,
+        "global_step": global_step,
+        "hparams": json.dumps(hparams or {}, default=str),
+        "callback_metrics": {k: float(v) for k, v in (callback_metrics or {}).items()},
+    }
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(payload))
+    tmp.replace(path)  # atomic on POSIX — a crash never corrupts the file
+
+
+def load_checkpoint(path: str | Path) -> dict:
+    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    payload["hparams"] = json.loads(payload.get("hparams") or "{}")
+    return payload
+
+
+def restore_params(path: str | Path, like: Any | None = None) -> Any:
+    """Load `state_dict` params, optionally coerced to the structure of `like`."""
+    params = load_checkpoint(path)["state_dict"]
+    if like is not None:
+        params = serialization.from_state_dict(like, params)
+    return params

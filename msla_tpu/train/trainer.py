@@ -1,0 +1,336 @@
+"""Training harness — the from-scratch replacement for lightning.Trainer
+(reference: configs/trainer/default.yaml, src/main.py:37-52).
+
+fit/validate/test/predict loops with Lightning-equivalent semantics:
+epoch-mean metric aggregation under the reference's metric names,
+callback_metrics, ModelCheckpoint/EarlyStopping, resume via ckpt_path,
+fast_dev_run / limit_*_batches / detect_anomaly / simple profiler
+(configs/debug/default.yaml surface).
+
+TPU execution model: one jitted train step per task — the datamodule's
+device-side batch transform, the (optional) masking augmentation, the model
+forward/backward and the optimizer update are all fused into a single XLA
+program. Batches are sharded over the mesh's `data` axis; params are
+replicated; XLA inserts the gradient all-reduce over ICI. Step functions
+donate the state buffers, so params/opt-state never double-allocate in HBM.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+from functools import partial
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from msla_tpu.parallel.mesh import make_mesh, replicated, resolve_devices, shard_batch
+from msla_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+log = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+class _SimpleProfiler:
+    """Wall-clock section profiler (reference debug config: profiler: simple)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.totals: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    def track(self, name: str):
+        profiler = self
+
+        class _Ctx:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *exc):
+                if profiler.enabled:
+                    profiler.totals[name] += time.perf_counter() - self.t0
+                    profiler.counts[name] += 1
+
+        return _Ctx()
+
+    def summary(self) -> str:
+        lines = ["Profiler report (wall-clock):"]
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"  {name:<24s} total {total:8.3f}s  calls {n:5d}  mean {total / n:8.4f}s")
+        return "\n".join(lines)
+
+
+class Trainer:
+    def __init__(self,
+                 default_root_dir: str = ".",
+                 min_epochs: int = 1,
+                 max_epochs: int = 10,
+                 enable_progress_bar: bool = True,
+                 log_every_n_steps: int | None = 1000,
+                 accelerator: str = "tpu",
+                 devices: int = -1,
+                 callbacks: list | None = None,
+                 logger: list | None = None,
+                 fast_dev_run: bool = False,
+                 detect_anomaly: bool = False,
+                 profiler: str | None = None,
+                 limit_train_batches: float = 1.0,
+                 limit_val_batches: float = 1.0,
+                 limit_test_batches: float = 1.0,
+                 num_nodes: int = 1,
+                 model_parallel: int = 1,
+                 seed: int = 0):
+        self.default_root_dir = Path(default_root_dir)
+        self.min_epochs = int(min_epochs or 0)
+        self.max_epochs = int(max_epochs)
+        self.enable_progress_bar = enable_progress_bar
+        self.log_every_n_steps = log_every_n_steps or 0
+        self.accelerator = accelerator
+        self.callbacks = list(callbacks or [])
+        self.loggers = list(logger) if isinstance(logger, (list, tuple)) else ([logger] if logger else [])
+        self.fast_dev_run = fast_dev_run
+        self.detect_anomaly = detect_anomaly
+        self.profiler = _SimpleProfiler(profiler == "simple")
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.seed = seed
+
+        self.devices = resolve_devices(accelerator, devices)
+        self.mesh = make_mesh(self.devices, model_parallel)
+
+        self.callback_metrics: dict[str, float] = {}
+        self.current_epoch = 0
+        self.global_step = 0
+        self._model = None
+        self._state: TrainState | None = None
+        self._tx = None
+
+    # ---- checkpoint plumbing -------------------------------------------------
+    def save_checkpoint(self, path) -> None:
+        assert self._state is not None and self._model is not None
+        save_checkpoint(path,
+                        params=self._state.params,
+                        opt_state=self._state.opt_state,
+                        epoch=self.current_epoch,
+                        global_step=self.global_step,
+                        hparams=getattr(self._model, "hparams", {}),
+                        callback_metrics=self.callback_metrics)
+
+    def _restore(self, ckpt_path) -> None:
+        payload = load_checkpoint(ckpt_path)
+        from flax import serialization
+
+        params = serialization.from_state_dict(self._state.params, payload["state_dict"])
+        opt_state = self._state.opt_state
+        if payload.get("opt_state"):
+            opt_state = serialization.from_state_dict(self._state.opt_state, payload["opt_state"])
+        self._state = TrainState(params=params, opt_state=opt_state,
+                                 step=jnp.asarray(payload.get("global_step", 0)))
+        self.current_epoch = int(payload.get("epoch", 0))
+        self.global_step = int(payload.get("global_step", 0))
+        log.info("Restored checkpoint %s (epoch %d, step %d)", ckpt_path,
+                 self.current_epoch, self.global_step)
+
+    # ---- loop helpers ----------------------------------------------------------
+    @staticmethod
+    def _limit(n_batches: int, fraction_or_count) -> int:
+        if fraction_or_count is None:
+            return n_batches
+        if isinstance(fraction_or_count, float) and fraction_or_count <= 1.0:
+            return max(1, int(n_batches * fraction_or_count))
+        return min(n_batches, int(fraction_or_count))
+
+    def _log(self, metrics: Mapping[str, float], step: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, step)
+
+    def _build_state(self, model, datamodule, sample_raw_batch, ckpt_path=None) -> None:
+        self.datamodule = datamodule  # exposed to host-side hooks (audio demos)
+        rng = jax.random.PRNGKey(self.seed)
+        batch0 = datamodule.on_after_batch_transfer(jnp.asarray(sample_raw_batch))
+        variables = model.init_variables(rng, batch0)
+        params = variables["params"] if "params" in variables else variables
+        self._tx = model.configure_optimizer()
+        opt_state = self._tx.init(params)
+        params = jax.device_put(params, replicated(self.mesh))
+        opt_state = jax.device_put(opt_state, replicated(self.mesh))
+        self._state = TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
+        self._model = model
+        if ckpt_path:
+            self._restore(ckpt_path)
+
+    def _make_train_step(self, model, datamodule):
+        tx = self._tx
+        base_rng = jax.random.PRNGKey(self.seed + 1)
+        train_transform = getattr(datamodule, "train_transform",
+                                  lambda batch, rng: batch)
+
+        def step_fn(state: TrainState, raw_batch: jax.Array) -> tuple[TrainState, dict]:
+            rng = jax.random.fold_in(base_rng, state.step)
+            raw_batch = train_transform(raw_batch, rng)
+            batch = datamodule.on_after_batch_transfer(raw_batch)
+
+            def lf(params):
+                return model.loss_fn(params, batch, rng)
+
+            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+
+        return jax.jit(step_fn, donate_argnums=0)
+
+    def _make_eval_step(self, model, datamodule, mode: str):
+        @partial(jax.jit, static_argnums=())
+        def eval_fn(params, raw_batch):
+            batch = datamodule.on_after_batch_transfer(raw_batch)
+            return model.eval_metrics(params, batch, mode)
+
+        return eval_fn
+
+    def _run_eval(self, model, datamodule, loader, eval_fn, mode: str, limit) -> dict:
+        sums: dict[str, float] = defaultdict(float)
+        count = 0
+        max_batches = self._limit(len(loader), 1 if self.fast_dev_run else limit)
+        for batch_idx, raw in enumerate(loader):
+            if batch_idx >= max_batches:
+                break
+            with self.profiler.track(f"{mode}_step"):
+                metrics = eval_fn(self._state.params, shard_batch(self.mesh, raw))
+                metrics = {k: float(v) for k, v in metrics.items()}
+            for k, v in metrics.items():
+                sums[k] += v
+            count += 1
+            if mode == "validation":
+                model.on_validation_batch_end(self, self._state.params,
+                                              jnp.asarray(raw), batch_idx)
+        return {k: v / max(count, 1) for k, v in sums.items()}
+
+    # ---- public API -------------------------------------------------------------
+    def fit(self, model, datamodule, ckpt_path: str | None = None) -> None:
+        if self.detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+        try:
+            self._fit_inner(model, datamodule, ckpt_path)
+        finally:
+            if self.detect_anomaly:
+                jax.config.update("jax_debug_nans", False)
+            if self.profiler.enabled and self.profiler.totals:
+                log.info("%s", self.profiler.summary())
+
+    def _fit_inner(self, model, datamodule, ckpt_path) -> None:
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        if len(train_loader) == 0:
+            raise RuntimeError("empty train dataloader — check data_dir and batch_size")
+
+        first_raw = next(iter(train_loader))
+        if self._state is None or self._model is not model:
+            self._build_state(model, datamodule, first_raw, ckpt_path)
+        train_step = self._make_train_step(model, datamodule)
+        val_step = self._make_eval_step(model, datamodule, "validation")
+
+        for lg in self.loggers:
+            lg.log_hyperparams(getattr(model, "hparams", {}))
+
+        max_epochs = 1 if self.fast_dev_run else self.max_epochs
+        stop = False
+        while self.current_epoch < max_epochs and not stop:
+            epoch_sums: dict[str, float] = defaultdict(float)
+            epoch_count = 0
+            max_batches = self._limit(len(train_loader),
+                                      1 if self.fast_dev_run else self.limit_train_batches)
+            t_epoch = time.perf_counter()
+            for batch_idx, raw in enumerate(train_loader):
+                if batch_idx >= max_batches:
+                    break
+                with self.profiler.track("train_step"):
+                    self._state, metrics = train_step(self._state, shard_batch(self.mesh, raw))
+                self.global_step += 1
+                epoch_count += 1
+                if self.log_every_n_steps and self.global_step % self.log_every_n_steps == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    self._log(host, self.global_step)
+                    if self.enable_progress_bar:
+                        log.info("epoch %d step %d: %s", self.current_epoch, self.global_step,
+                                 {k: round(v, 5) for k, v in host.items()})
+                # epoch aggregation happens on host after the step completes;
+                # metrics are tiny scalars so the transfer is negligible
+                for k, v in metrics.items():
+                    epoch_sums[k] += float(v)
+
+            train_epoch = {k: v / max(epoch_count, 1) for k, v in epoch_sums.items()}
+            self.callback_metrics.update(train_epoch)
+
+            with self.profiler.track("validation"):
+                val_metrics = self._run_eval(model, datamodule, val_loader, val_step,
+                                             "validation", self.limit_val_batches)
+            self.callback_metrics.update(val_metrics)
+            self._log({**train_epoch, **val_metrics}, self.global_step)
+            if self.enable_progress_bar:
+                dt = time.perf_counter() - t_epoch
+                log.info("epoch %d done in %.1fs: validation/loss=%s", self.current_epoch, dt,
+                         round(val_metrics.get("validation/loss", float("nan")), 5))
+
+            model.on_train_epoch_end(self, self._state.params)
+
+            if not self.fast_dev_run:
+                for cb in self.callbacks:
+                    cb.on_validation_end(self, self.callback_metrics)
+                if self.current_epoch + 1 >= self.min_epochs and any(
+                        cb.stop_training for cb in self.callbacks):
+                    stop = True
+            self.current_epoch += 1
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+
+    def validate(self, model, datamodule, ckpt_path: str | None = None) -> dict:
+        return self._eval_entry(model, datamodule, "validation",
+                                datamodule.val_dataloader(), self.limit_val_batches, ckpt_path)
+
+    def test(self, model, datamodule, ckpt_path: str | None = None) -> dict:
+        mode = getattr(model, "test_mode_name", "test")
+        return self._eval_entry(model, datamodule, mode,
+                                datamodule.test_dataloader(), self.limit_test_batches, ckpt_path)
+
+    def _eval_entry(self, model, datamodule, mode, loader, limit, ckpt_path) -> dict:
+        if self._state is None or self._model is not model:
+            first_raw = next(iter(loader))
+            self._build_state(model, datamodule, first_raw, None)
+        if ckpt_path:
+            self._restore(ckpt_path)
+        eval_fn = self._make_eval_step(model, datamodule, mode)
+        metrics = self._run_eval(model, datamodule, loader, eval_fn, mode, limit)
+        self.callback_metrics.update(metrics)
+        self._log(metrics, self.global_step)
+        return metrics
+
+    def predict(self, model, datamodule, ckpt_path: str | None = None) -> list:
+        loader = datamodule.predict_dataloader()
+        if self._state is None or self._model is not model:
+            first_raw = next(iter(loader))
+            self._build_state(model, datamodule, first_raw, None)
+        if ckpt_path:
+            self._restore(ckpt_path)
+        outputs = []
+        for raw in loader:
+            batch = datamodule.on_after_batch_transfer(jnp.asarray(raw))
+            outputs.append(model.predict_step(self._state.params, batch))
+        return outputs
+
+    @property
+    def state(self) -> TrainState:
+        return self._state

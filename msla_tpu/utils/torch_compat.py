@@ -60,6 +60,60 @@ def _conv_t(sd: Mapping[str, Any], key: str) -> dict:
     return {"conv": entry}
 
 
+def mha_params_from_torch(sd: Mapping[str, Any], prefix: str) -> dict:
+    """torch nn.MultiheadAttention (packed in_proj) → our MultiHeadAttention."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])  # (3E, E)
+    b = _np(sd[f"{prefix}.in_proj_bias"])    # (3E,)
+    e = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:e].T, "bias": b[:e]},
+        "k_proj": {"kernel": w[e:2 * e].T, "bias": b[e:2 * e]},
+        "v_proj": {"kernel": w[2 * e:].T, "bias": b[2 * e:]},
+        "out_proj": {"kernel": linear_kernel(sd[f"{prefix}.out_proj.weight"]),
+                     "bias": _np(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def _layernorm(sd: Mapping[str, Any], key: str) -> dict:
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _linear(sd: Mapping[str, Any], key: str) -> dict:
+    return {"kernel": linear_kernel(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def decoder_layer_params_from_torch(sd: Mapping[str, Any], prefix: str,
+                                    zero_memory: bool = True) -> dict:
+    """torch nn.TransformerDecoderLayer → our DecoderLayer."""
+    params = {
+        "self_attn": mha_params_from_torch(sd, f"{prefix}.self_attn"),
+        "linear1": _linear(sd, f"{prefix}.linear1"),
+        "linear2": _linear(sd, f"{prefix}.linear2"),
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "norm3": _layernorm(sd, f"{prefix}.norm3"),
+    }
+    if zero_memory:
+        # zero-memory cross-attention reduces to the out-proj bias
+        params["cross_attn_out_bias"] = _np(sd[f"{prefix}.multihead_attn.out_proj.bias"])
+    else:
+        params["cross_attn"] = mha_params_from_torch(sd, f"{prefix}.multihead_attn")
+    return params
+
+
+def transformer_params_from_torch(sd: Mapping[str, Any], num_layers: int,
+                                  zero_memory: bool = True) -> dict:
+    """Reference TransformerQuantizerDecoder state_dict → TransformerQuantizerNet."""
+    params = {
+        "embedding": _linear(sd, "embedding"),
+        "fc": _linear(sd, "fc"),
+    }
+    for i in range(num_layers):
+        params[f"layer{i}"] = decoder_layer_params_from_torch(
+            sd, f"transformer_decoder.layers.{i}", zero_memory)
+    return params
+
+
 def vqvae_params_from_torch(sd: Mapping[str, Any], num_residual_layer: int) -> dict:
     """Reference VQVAE state_dict → VQVAENet params tree."""
     return {

@@ -1,0 +1,148 @@
+"""Trainer harness end-to-end tests on synthetic fixtures (debug=default
+equivalent, SURVEY.md §4) plus callback/checkpoint unit tests."""
+import numpy as np
+import pytest
+
+from msla_tpu.data.datamodule import SlakhDataModule
+from msla_tpu.data.dataset import make_fixture_dataset
+from msla_tpu.models.vqvae import VQVAETask
+from msla_tpu.train.callbacks import EarlyStopping, ModelCheckpoint
+from msla_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from msla_tpu.train.loggers import CSVLogger, WandbLogger
+from msla_tpu.train.trainer import Trainer
+
+SR = 4000
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("slakh")
+    for split, n in [("train", 2), ("validation", 1), ("test", 1)]:
+        make_fixture_dataset(root / split, n_tracks=n, seconds=26, sr=SR)
+    return root
+
+
+def make_dm(root, batch_size=2, **kw):
+    return SlakhDataModule(train_dir=str(root / "train"), val_dir=str(root / "validation"),
+                           test_dir=str(root / "test"), target_sample_rate=SR,
+                           target_sample_duration=2, max_duration=120,
+                           maximum_dataset_size=150000, batch_size=batch_size,
+                           num_workers=0, **kw)
+
+
+def make_task(tmp_path):
+    return VQVAETask(num_hidden=16, num_residual_layer=1, num_residual_hidden=8,
+                     num_embedding=16, embedding_dim=8, commitment_cost=0.25,
+                     learning_rate=1e-3, sample_rate=SR,
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     codebook_file=str(tmp_path / "codebook.csv"),
+                     use_pallas=False)
+
+
+def test_fit_decreases_loss_and_writes_artifacts(fixture_root, tmp_path):
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    ckpt_cb = ModelCheckpoint(dirpath=str(tmp_path / "best"), filename="best_vqvae",
+                              monitor="validation/loss", save_top_k=2, save_last=True)
+    es_cb = EarlyStopping(monitor="validation/loss", patience=5)
+    trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2, accelerator="cpu",
+                      log_every_n_steps=0, enable_progress_bar=False,
+                      callbacks=[ckpt_cb, es_cb],
+                      logger=[CSVLogger(save_dir=str(tmp_path / "csv")),
+                              WandbLogger(save_dir=str(tmp_path / "wandb"))])
+    trainer.fit(task, dm)
+
+    cm = trainer.callback_metrics
+    assert "train/loss" in cm and "validation/loss" in cm
+    assert np.isfinite(cm["validation/loss"])
+    # the reference's full metric catalog is logged
+    for name in ["validation/embedding_loss", "validation/commitment_loss",
+                 "validation/perplexity", "validation/l1_bass_loss",
+                 "validation/l2_piano_loss", "validation/si_sdr_drums_measure",
+                 "validation/si_sdr_full_audio_measure", "validation/l1_full_audio_loss"]:
+        assert name in cm, name
+
+    # artifacts: best + last checkpoints, codebook CSV, csv metrics, demo wavs
+    assert (tmp_path / "best" / "best_vqvae.ckpt").exists()
+    assert (tmp_path / "best" / "last.ckpt").exists()
+    codebook = np.loadtxt(tmp_path / "codebook.csv", delimiter=",", skiprows=1)
+    assert codebook.shape == (16, 8)
+    assert (tmp_path / "csv" / "metrics.csv").exists()
+    assert (tmp_path / "ckpt" / "original_bass.wav").exists()
+    assert (tmp_path / "ckpt" / "generated_full_song.wav").exists()
+
+    # test split runs with the test/ metric prefix
+    test_metrics = trainer.test(task, dm)
+    assert "test/loss" in test_metrics
+
+
+def test_fast_dev_run_single_batch(fixture_root, tmp_path):
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    trainer = Trainer(max_epochs=5, accelerator="cpu", fast_dev_run=True,
+                      enable_progress_bar=False, log_every_n_steps=0)
+    trainer.fit(task, dm)
+    assert trainer.global_step == 1
+    assert trainer.current_epoch == 1
+
+
+def test_resume_from_checkpoint(fixture_root, tmp_path):
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0)
+    trainer.fit(task, dm)
+    trainer.save_checkpoint(tmp_path / "resume.ckpt")
+    step_before = trainer.global_step
+
+    task2 = make_task(tmp_path)
+    trainer2 = Trainer(max_epochs=2, accelerator="cpu", enable_progress_bar=False,
+                       log_every_n_steps=0)
+    trainer2.fit(task2, dm, ckpt_path=str(tmp_path / "resume.ckpt"))
+    assert trainer2.global_step > step_before  # continued, not restarted
+    payload = load_checkpoint(tmp_path / "resume.ckpt")
+    assert payload["epoch"] == 1
+
+
+def test_early_stopping_semantics():
+    class FakeTrainer:
+        def save_checkpoint(self, path):
+            save_checkpoint(path, params={"w": np.zeros(1)})
+
+    es = EarlyStopping(monitor="validation/loss", patience=2, min_delta=0.0)
+    t = FakeTrainer()
+    for loss in [1.0, 0.9, 0.95, 0.95]:
+        es.on_validation_end(t, {"validation/loss": loss})
+    assert es.stop_training  # 2 checks without improvement
+
+    es2 = EarlyStopping(monitor="validation/loss", patience=5, check_finite=True)
+    es2.on_validation_end(t, {"validation/loss": float("nan")})
+    assert es2.stop_training
+
+    es3 = EarlyStopping(monitor="missing", strict=True)
+    with pytest.raises(RuntimeError):
+        es3.on_validation_end(t, {"validation/loss": 1.0})
+
+
+def test_model_checkpoint_topk(tmp_path):
+    class FakeTrainer:
+        def __init__(self):
+            self.n = 0
+
+        def save_checkpoint(self, path):
+            save_checkpoint(path, params={"w": np.full(1, self.n)})
+            self.n += 1
+
+    t = FakeTrainer()
+    cb = ModelCheckpoint(dirpath=str(tmp_path), filename="best", monitor="m",
+                         save_top_k=2, save_last=True, mode="min")
+    for score in [3.0, 1.0, 2.0, 0.5]:
+        cb.on_validation_end(t, {"m": score})
+    files = sorted(p.name for p in tmp_path.glob("*.ckpt"))
+    # top-2 of [3,1,2,0.5] = {0.5, 1.0} → 2 versioned + canonical + last
+    assert "best.ckpt" in files and "last.ckpt" in files
+    assert cb.best_model_score == 0.5
+    # canonical file holds the best payload (saved 4th → n=... last.ckpt saves interleave)
+    best = load_checkpoint(tmp_path / "best.ckpt")
+    v_best = load_checkpoint(cb._best[0][1])
+    assert float(best["state_dict"]["w"][0]) == float(v_best["state_dict"]["w"][0])
