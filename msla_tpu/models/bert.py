@@ -1,0 +1,262 @@
+"""Audio-BERT task module (reference: src/model/bert.py:19-236).
+
+BERT masked-LM over VQ codebook indices: train-time random masking (p=0.15,
+[MASK]=103), the input split into 512-token windows, argmax token ids rescaled
+into codebook range, mapped through the frozen codebook, then a
+Conv1d(64→4, k4, s2, p1) + Linear(T/8 → T) head reconstructs the 4 stems.
+L1 training loss per stem; AdamW.
+
+TPU redesign of the hot path: the reference runs ⌈11000/512⌉ = 22 BERT
+forwards SERIALLY per batch in a Python while-loop (bert.py:53-69). Here the
+W axis is padded to a whole number of 512-token chunks and folded into the
+batch dimension — ONE batched BERT forward per step, fully MXU-resident.
+
+Faithful quirks:
+* argmax (non-differentiable) between BERT and the head means BERT itself
+  receives no gradient — only the conv/linear head trains (true of the
+  reference too); we make that explicit with stop_gradient so XLA skips the
+  BERT backward pass entirely.
+* index rescale `round(ids / max(ids) * 511)` (bert.py:67-73), with a guard
+  for an all-zero argmax (the reference would emit NaN there).
+"""
+from __future__ import annotations
+
+import logging
+import random
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from msla_tpu.models.module import TaskModule
+from msla_tpu.nn.bert import BertConfig, BertForMaskedLM
+from msla_tpu.nn.layers import Conv1d, Linear
+from msla_tpu.ops.metrics import l1_loss, mse_loss, si_sdr_mean
+from flax import linen as nn
+
+log = logging.getLogger(__name__)
+
+INSTRUMENTS = ("bass", "drums", "guitar", "piano")
+MAX_HIDDEN_SIZE = 512  # BERT window (reference: bert.py:29)
+
+
+class AudioBertHead(nn.Module):
+    """Conv1d(64→4, k4, s2, p1) + Linear(T/8 → T) (reference: bert.py:40-41)."""
+
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, quantized_bcw: jax.Array) -> jax.Array:
+        x = jnp.swapaxes(quantized_bcw, -1, -2)  # NWC
+        x = Conv1d(4, kernel_size=4, stride=2, padding=1, name="conv")(x)
+        x = jnp.swapaxes(x, -1, -2)              # (B, 4, T/8)
+        return Linear(self.output_dim, name="linear")(x)
+
+
+class AudioBertTask(TaskModule):
+    def __init__(self,
+                 learning_rate: float,
+                 checkpoint_dir: str,
+                 codebook: str,
+                 sample_rate: int,
+                 frame_length: int,
+                 num_embedding: int,
+                 pretrained_weights: str | None = None,
+                 mask_prob: float = 0.15):
+        self.hparams = dict(learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
+                            codebook=str(codebook), sample_rate=sample_rate,
+                            frame_length=frame_length, num_embedding=num_embedding,
+                            mask_prob=mask_prob)
+        self.config = BertConfig()
+        self.bert = BertForMaskedLM(self.config)
+        self.head = AudioBertHead(output_dim=sample_rate * frame_length)
+        self.mask_prob = float(mask_prob)
+        self.codebook_np = self._load_codebook(codebook, num_embedding)
+        self.pretrained_weights = pretrained_weights
+
+    @staticmethod
+    def _load_codebook(path: str, num_embedding: int) -> np.ndarray:
+        """Frozen codebook from CSV (reference: bert.py:32, header row present)."""
+        p = Path(path)
+        if p.exists():
+            arr = np.genfromtxt(p, delimiter=",", skip_header=1).astype(np.float32)
+            return np.atleast_2d(arr)
+        log.warning("codebook file %s missing — using zeros (train the VQ-VAE first)", path)
+        return np.zeros((num_embedding, 64), dtype=np.float32)
+
+    # ---- init / optimizer ------------------------------------------------------
+    def init_variables(self, rng, batch):
+        indices, instruments = batch
+        r1, r2 = jax.random.split(rng)
+        ids = jnp.zeros((1, MAX_HIDDEN_SIZE), jnp.int32)
+        bert_params = self.bert.init(r1, ids)["params"]
+        bert_params = self._maybe_load_pretrained(bert_params)
+        w = indices.reshape(indices.shape[0], -1).shape[-1]
+        dummy_q = jnp.zeros((1, self.codebook_np.shape[1], w), jnp.float32)
+        head_params = self.head.init(r2, dummy_q)["params"]
+        return {"params": {"bert": bert_params, "head": head_params,
+                           "codebook": jnp.asarray(self.codebook_np)}}
+
+    def _maybe_load_pretrained(self, random_params):
+        if not self.pretrained_weights:
+            return random_params
+        path = Path(self.pretrained_weights)
+        if not path.exists():
+            log.warning("pretrained BERT weights %s not found — using random init "
+                        "(run tools/convert_hf_bert.py to convert an offline HF "
+                        "checkpoint)", path)
+            return random_params
+        from flax import serialization
+
+        restored = serialization.msgpack_restore(path.read_bytes())
+        return serialization.from_state_dict(random_params, restored)
+
+    def configure_optimizer(self):
+        # torch.optim.AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01
+        # (reference: bert.py:234-236). In the reference, the argmax between
+        # BERT and the head leaves BERT's grads as None, so torch's AdamW
+        # skips them entirely (no update, no weight decay) — only the
+        # conv/linear head actually trains. The codebook is a frozen buffer.
+        adamw = optax.adamw(self.hparams["learning_rate"], b1=0.9, b2=0.999,
+                            eps=1e-8, weight_decay=0.01)
+
+        def label_fn(params):
+            return {k: ("train" if k == "head" else "freeze") for k in params}
+
+        return optax.multi_transform(
+            {"train": adamw, "freeze": optax.set_to_zero()}, param_labels=label_fn)
+
+    # ---- forward ---------------------------------------------------------------
+    def forward(self, params, indices: jax.Array, rng: jax.Array | None = None,
+                train: bool = False) -> jax.Array:
+        """(B, W) code indices → (B, 4, T) stems (reference: bert.py:43-82)."""
+        b = indices.shape[0]
+        x = indices.reshape(b, -1).astype(jnp.int32)
+        w = x.shape[1]
+
+        if train and rng is not None:
+            # random masking p=0.15 (reference: bert.py:46-48)
+            mask = jax.random.uniform(rng, x.shape) < self.mask_prob
+            x = jnp.where(mask, self.config.mask_token_id, x)
+
+        # pad W to whole 512-token chunks; scan over the chunk axis with the
+        # full batch inside each step. Compared to the reference's serial
+        # Python loop (bert.py:53-69) this is compiled and batched; compared
+        # to folding every chunk into one call it bounds the live logits
+        # buffer to (B, 512, vocab) — folding all ⌈W/512⌉ chunks at batch 64
+        # would materialize ~90 GB of logits.
+        n_chunks = -(-w // MAX_HIDDEN_SIZE)
+        padded = n_chunks * MAX_HIDDEN_SIZE
+        tokens = jnp.pad(x, ((0, 0), (0, padded - w)),
+                         constant_values=self.config.pad_token_id)
+        attn = jnp.pad(jnp.ones((b, w), jnp.float32), ((0, 0), (0, padded - w)))
+        tokens = tokens.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
+        attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
+
+        bert_params = jax.lax.stop_gradient(params["bert"])
+
+        def chunk_step(_, tok_attn):
+            tok, am = tok_attn
+            logits = self.bert.apply({"params": bert_params}, tok, am,
+                                     deterministic=True)
+            # argmax is non-differentiable: no gradient reaches BERT — faithful
+            # to the reference, where BERT's grads are None
+            return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        _, ids = jax.lax.scan(chunk_step, None, (tokens, attn))  # (n_chunks, B, 512)
+        ids = ids.swapaxes(0, 1).reshape(b, padded)[:, :w]
+
+        # rescale vocab ids into codebook range (reference: bert.py:67-73);
+        # the reference flattens across the whole batch before taking max
+        flat = ids.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(flat.max(), 1.0)  # reference NaNs on all-zero argmax
+        code_ids = jnp.round(flat / denom * (MAX_HIDDEN_SIZE - 1)).astype(jnp.int32)
+        code_ids = jnp.clip(code_ids, 0, params["codebook"].shape[0] - 1)
+
+        # the codebook is a buffer, not a parameter (reference: bert.py:32
+        # builds it with requires_grad=False) — no gradient flows into it
+        codebook = jax.lax.stop_gradient(params["codebook"])
+        quantized = jnp.take(codebook, code_ids, axis=0)  # (B*W, 64)
+        quantized = quantized.reshape(b, w, -1)
+        quantized_bcw = jnp.swapaxes(quantized, -1, -2)  # (B, 64, W)
+        return self.head.apply({"params": params["head"]}, quantized_bcw)
+
+    # ---- steps -------------------------------------------------------------------
+    def loss_fn(self, params, batch, rng):
+        indices, instruments = batch
+        output = self.forward(params, indices, rng, train=True)
+        loss = jnp.asarray(0.0)
+        for i in range(4):
+            loss = loss + l1_loss(output[:, i, :], instruments[:, i, :])
+        return loss, {"train/loss": loss}
+
+    def eval_metrics(self, params, batch, mode: str):
+        """Metric catalog (reference: bert.py:107-167)."""
+        indices, instruments = batch
+        output = self.forward(params, indices, train=False)
+        mixed_output = jnp.sum(output, axis=1)
+        mixed = jnp.sum(instruments, axis=1)
+        metrics = {}
+        loss = jnp.asarray(0.0)
+        for i, name in enumerate(INSTRUMENTS):
+            pred, target = output[:, i, :], instruments[:, i, :]
+            loss = loss + l1_loss(pred, target)
+            metrics[f"{mode}/l2_{name}_loss"] = mse_loss(pred, target)
+            metrics[f"{mode}/l1_{name}_loss"] = l1_loss(pred, target)
+            metrics[f"{mode}/si_sdr_{name}_measure"] = si_sdr_mean(pred, target)
+        metrics[f"{mode}/si_sdr_full_audio_measure"] = si_sdr_mean(mixed_output, mixed)
+        metrics[f"{mode}/l2_full_audio_loss"] = mse_loss(mixed_output, mixed)
+        metrics[f"{mode}/l1_full_audio_loss"] = l1_loss(mixed_output, mixed)
+        metrics[f"{mode}/loss"] = loss
+        return metrics
+
+    def predict_step(self, params, batch):
+        """Generation path (reference: bert.py:84-87)."""
+        indices, instruments = batch
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+        return self.forward(params, indices, train=False)
+
+    def on_validation_batch_end(self, trainer, params, batch, batch_idx: int) -> None:
+        """Audio demo table (reference: bert.py:169-232)."""
+        if batch_idx != 0 or not trainer.loggers:
+            return
+        try:
+            from msla_tpu.data.wavio import write_wav
+
+            stems = np.asarray(batch)
+            index = random.randint(0, stems.shape[0] - 1)
+            original = stems[index]
+            datamodule = getattr(trainer, "datamodule", None)
+            if datamodule is None or datamodule.quantize is None:
+                return
+            indices, _ = datamodule.on_after_batch_transfer(jnp.asarray(stems[index:index + 1]))
+            decoded = np.asarray(self.forward(params, indices, train=False)[0])
+
+            ckpt_dir = Path(self.hparams["checkpoint_dir"])
+            ckpt_dir.mkdir(parents=True, exist_ok=True)
+            sr = int(self.hparams["sample_rate"])
+            data: list[list] = [[], []]
+            for idx, name in enumerate(INSTRUMENTS):
+                orig_file = ckpt_dir / f"original_{name}.wav"
+                dec_file = ckpt_dir / f"generated_{name}.wav"
+                write_wav(orig_file, original[idx], sr)
+                write_wav(dec_file, decoded[idx], sr)
+                data[0].append(str(orig_file))
+                data[1].append(str(dec_file))
+            orig_full = ckpt_dir / "original_full_song.wav"
+            dec_full = ckpt_dir / "generated_full_song.wav"
+            write_wav(orig_full, original.sum(axis=0), sr)
+            write_wav(dec_full, decoded.sum(axis=0), sr)
+            data[0].append(str(orig_full))
+            data[1].append(str(dec_full))
+            columns = ["bass vs D(bass)", "drums vs D(drums)", "guitar vs D(guitar)",
+                       "piano vs D(piano)", "mixed vs D(mixed)"]
+            for lg in trainer.loggers:
+                lg.log_table(f"DEMO EPOCH [{trainer.current_epoch}]", columns, data)
+        except Exception as err:
+            log.warning("Exception while executing -on validation batch end- during "
+                        "bert training")
+            log.warning("%s", err)

@@ -1,0 +1,78 @@
+"""Fused Pallas TPU kernel for nearest-codebook lookup.
+
+The VQ hot op (reference math: src/model/components/vector_quantizer.py:32-37)
+computes, for every latent position, the L2-nearest of K codebook rows. At
+reference scale each train step quantizes N = B·W = 64·11000 = 704k positions
+against a 512×64 codebook: the naive jnp path materializes an (N, K) distance
+matrix (~1.4 GB) in HBM before the argmin. This kernel tiles N, keeps each
+(TILE_N, K) distance block in VMEM, and writes only the int32 indices back —
+the distance matrix never touches HBM, and the dot product runs on the MXU.
+
+The surrounding ``vector_quantize`` (msla_tpu.ops.vq) uses the kernel for the
+lookup only; quantized values come from a differentiable gather outside so
+codebook gradients (embedding loss) flow normally.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid step; indices are emitted as an (8, ROWS/8) int32 block so
+# both output dims satisfy the TPU (8, 128) tiling rule
+DEFAULT_TILE_ROWS = 2048
+_OUT_SUBLANES = 8
+
+
+def _nearest_codes_kernel(x_ref, cb_ref, e2_ref, idx_ref):
+    x = x_ref[:]                    # (ROWS, D) fp32
+    cb = cb_ref[:]                  # (K, D) fp32
+    # ‖x‖² is constant per row — dropped, cannot change the argmin
+    dots = jax.lax.dot_general(x, cb, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (ROWS, K) on MXU
+    dist = e2_ref[:] - 2.0 * dots   # (ROWS, K), stays in VMEM
+    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    idx_ref[:] = idx.reshape(idx_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+def nearest_codes_pallas(flat_x: jax.Array, codebook: jax.Array,
+                         tile_rows: int = DEFAULT_TILE_ROWS,
+                         interpret: bool = False) -> jax.Array:
+    """(N, D) fp32 × (K, D) fp32 → (N,) int32 nearest-codebook indices."""
+    n, d = flat_x.shape
+    k = codebook.shape[0]
+    # keep the (ROWS, K) distance block + inputs comfortably inside VMEM
+    tile_rows = min(tile_rows, max(_OUT_SUBLANES * 128, 1))
+    num_tiles = pl.cdiv(n, tile_rows)
+    n_pad = num_tiles * tile_rows
+    lanes = tile_rows // _OUT_SUBLANES
+
+    x = flat_x.astype(jnp.float32)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    cb = codebook.astype(jnp.float32)
+    e2 = jnp.sum(cb * cb, axis=1)[None, :]  # (1, K)
+
+    out = pl.pallas_call(
+        _nearest_codes_kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_OUT_SUBLANES, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * _OUT_SUBLANES, lanes), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * k * d,
+            bytes_accessed=n_pad * d * 4 + k * d * 4 + n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, cb, e2)
+    return out.reshape(-1)[:n]

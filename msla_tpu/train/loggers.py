@@ -75,6 +75,11 @@ class CSVLogger(Logger):
         self._path = logdir / "metrics.csv"
         self._prefix = prefix
         self._fields: list[str] = []
+        if self._path.exists():  # adopt the schema of an earlier stage's log
+            with open(self._path) as f:
+                header = f.readline().strip()
+            if header:
+                self._fields = header.split(",")
 
     def log_metrics(self, metrics: Mapping[str, float], step: int) -> None:
         row = {"step": step}

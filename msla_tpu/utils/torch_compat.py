@@ -114,6 +114,38 @@ def transformer_params_from_torch(sd: Mapping[str, Any], num_layers: int,
     return params
 
 
+def bert_params_from_hf(sd: Mapping[str, Any], num_layers: int = 12) -> dict:
+    """HF BertForMaskedLM state_dict → msla_tpu.nn.bert.BertForMaskedLM params."""
+    params: dict = {
+        "embeddings": {
+            "word_embeddings": {"embedding": _np(sd["bert.embeddings.word_embeddings.weight"])},
+            "position_embeddings": {"embedding": _np(sd["bert.embeddings.position_embeddings.weight"])},
+            "token_type_embeddings": {"embedding": _np(sd["bert.embeddings.token_type_embeddings.weight"])},
+            "layer_norm": {"scale": _np(sd["bert.embeddings.LayerNorm.weight"]),
+                           "bias": _np(sd["bert.embeddings.LayerNorm.bias"])},
+        },
+        "mlm_transform": _linear(sd, "cls.predictions.transform.dense"),
+        "mlm_norm": {"scale": _np(sd["cls.predictions.transform.LayerNorm.weight"]),
+                     "bias": _np(sd["cls.predictions.transform.LayerNorm.bias"])},
+        "mlm_bias": _np(sd["cls.predictions.bias"]),
+    }
+    for i in range(num_layers):
+        p = f"bert.encoder.layer.{i}"
+        params[f"layer{i}"] = {
+            "attention": {
+                "q_proj": _linear(sd, f"{p}.attention.self.query"),
+                "k_proj": _linear(sd, f"{p}.attention.self.key"),
+                "v_proj": _linear(sd, f"{p}.attention.self.value"),
+                "out_proj": _linear(sd, f"{p}.attention.output.dense"),
+            },
+            "attention_norm": _layernorm(sd, f"{p}.attention.output.LayerNorm"),
+            "intermediate": _linear(sd, f"{p}.intermediate.dense"),
+            "output": _linear(sd, f"{p}.output.dense"),
+            "output_norm": _layernorm(sd, f"{p}.output.LayerNorm"),
+        }
+    return params
+
+
 def vqvae_params_from_torch(sd: Mapping[str, Any], num_residual_layer: int) -> dict:
     """Reference VQVAE state_dict → VQVAENet params tree."""
     return {

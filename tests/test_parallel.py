@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+replaces the reference's absent multi-node testing — assert sharded runs are
+numerically identical to single-device runs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from msla_tpu.models.vqvae import VQVAETask
+from msla_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def make_task():
+    return VQVAETask(num_hidden=16, num_residual_layer=1, num_residual_hidden=8,
+                     num_embedding=16, embedding_dim=8, commitment_cost=0.25,
+                     learning_rate=1e-3, sample_rate=4000, checkpoint_dir="/tmp/p",
+                     codebook_file="/tmp/p/cb.csv", use_pallas=False)
+
+
+def mixture(batch):
+    mix = jnp.sum(batch, axis=1, keepdims=True)
+    return jnp.broadcast_to(mix, batch.shape), batch
+
+
+def test_mesh_construction_and_helpers():
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(jax.devices()[:8])
+    assert mesh1.shape == {"data": 8, "model": 1}
+    arr = shard_batch(mesh1, np.ones((16, 4, 64), np.float32))
+    assert arr.sharding.spec == P("data")
+
+
+def test_data_parallel_step_matches_single_device():
+    """Gradient step on an 8-way sharded batch == single-device step."""
+    task = make_task()
+    raw = np.random.default_rng(0).standard_normal((16, 4, 1024)).astype(np.float32)
+    batch = mixture(jnp.asarray(raw))
+    params = task.init_variables(jax.random.PRNGKey(0), batch)["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, raw):
+        b = mixture(raw)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: task.loss_fn(p, b, jax.random.PRNGKey(1)), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    # single device
+    p1, loss1 = jax.jit(step)(params, opt_state, jnp.asarray(raw))
+
+    # 8-way data parallel
+    mesh = make_mesh(jax.devices()[:8])
+    sharded = shard_batch(mesh, raw)
+    params_r = jax.device_put(params, replicated(mesh))
+    opt_r = jax.device_put(opt_state, replicated(mesh))
+    p8, loss8 = jax.jit(step)(params_r, opt_r, sharded)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_model_parallel_codebook_sharding():
+    """VQ forward with the codebook sharded over the model axis matches
+    the replicated result (XLA inserts the gather/collectives)."""
+    from msla_tpu.ops.vq import vector_quantize
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((256, 8)), jnp.float32)
+    cb = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+
+    want = vector_quantize(x, cb, 0.25, use_pallas=False)
+
+    cb_sharded = jax.device_put(cb, NamedSharding(mesh, P("model", None)))
+    x_sharded = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    got = jax.jit(lambda a, c: vector_quantize(a, c, 0.25, use_pallas=False))(
+        x_sharded, cb_sharded)
+
+    np.testing.assert_array_equal(np.asarray(got.encoding_indices),
+                                  np.asarray(want.encoding_indices))
+    np.testing.assert_allclose(np.asarray(got.quantized_ste),
+                               np.asarray(want.quantized_ste), rtol=1e-5, atol=1e-6)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
