@@ -114,6 +114,28 @@ def transformer_params_from_torch(sd: Mapping[str, Any], num_layers: int,
     return params
 
 
+def vgg16_params_from_torch(sd: Mapping[str, Any]) -> dict:
+    """torchvision vgg16().features state_dict → VGG16Features params.
+
+    torch Conv2d weight (out, in, kh, kw) → flax Conv kernel (kh, kw, in, out).
+    """
+    params: dict = {}
+    conv_idx = 0
+    layer_idx = 0
+    from msla_tpu.nn.vgg import VGG16_PLAN
+
+    for spec in VGG16_PLAN:
+        if spec == "M":
+            layer_idx += 1
+            continue
+        w = _np(sd[f"features.{layer_idx}.weight"]).transpose(2, 3, 1, 0)
+        b = _np(sd[f"features.{layer_idx}.bias"])
+        params[f"conv{conv_idx}"] = {"kernel": w, "bias": b}
+        conv_idx += 1
+        layer_idx += 2  # conv + relu
+    return params
+
+
 def bert_params_from_hf(sd: Mapping[str, Any], num_layers: int = 12) -> dict:
     """HF BertForMaskedLM state_dict → msla_tpu.nn.bert.BertForMaskedLM params."""
     params: dict = {
