@@ -28,8 +28,8 @@ from pathlib import Path
 
 import numpy as np
 
-from msla_tpu.data.resample import resample
-from msla_tpu.data.wavio import read_wav
+# native C++ fast path with built-in numpy fallbacks (msla_tpu/data/native.py)
+from msla_tpu.data.native import frame_index, read_wav, resample
 
 log = logging.getLogger(__name__)
 
@@ -94,17 +94,11 @@ class SlakhDataset:
             kept_paths.append(self.file_paths[idx])
             np.save(f"{self.data_dir}/tensor_{idx}.npy", stems)
 
-            for sub_idx in range(self.max_duration):
-                frame_start = sub_idx * sr
-                frame_end = (sub_idx + self.target_sample_duration) * sr
-                frame = stems[:, frame_start:frame_end]
-                if int(frame.sum()) == 0:
-                    continue
-                if frame.shape[-1] != frame_len:
-                    continue  # drop last incomplete frame
+            # non-silent, complete 1s-hop windows (native scan when built)
+            for frame_start in frame_index(stems, sr, frame_len, self.max_duration):
                 data_list.append({"file_path_idx": idx,
-                                  "frame_start": frame_start,
-                                  "frame_end": frame_end})
+                                  "frame_start": int(frame_start),
+                                  "frame_end": int(frame_start) + frame_len})
 
         self.file_paths = kept_paths
         with open(self.save_file, "w") as f:
