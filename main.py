@@ -224,6 +224,10 @@ def run(cfg: ConfigNode) -> float | None:
 
 
 def main(argv: list[str] | None = None) -> float | None:
+    from msla_tpu.parallel.distributed import setup_distributed
+
+    setup_distributed()  # no-op on a single host
+
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = False
     for flag in ("-m", "--multirun"):

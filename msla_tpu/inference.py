@@ -1,0 +1,103 @@
+"""Jitted inference paths (BASELINE.json north star: "mixture-encode →
+per-stem-decode separation and autoregressive code sampling → decode
+generation run as jitted inference paths").
+
+The reference only ever separates fixed 2-second frames inside its eval loops;
+this module packages the same models behind production-shaped APIs:
+
+* SourceSeparator — full-song mixture → 4 stems: frames the waveform into the
+  training window size, runs one jitted batched encode/VQ/decode, and stitches
+  the frames back (static shapes; one compile per (window, batch) bucket).
+* AudioGenerator — the reference's BERT generation path (main.py:184-211) plus
+  a direct code-indices → waveform decode.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from msla_tpu.nn.vqvae_net import VQVAENet
+
+
+class SourceSeparator:
+    """Mixture waveform → per-stem waveforms through the trained VQ-VAE."""
+
+    def __init__(self, task, params, frame_samples: int, batch_size: int = 16):
+        self.task = task
+        self.params = params
+        self.frame_samples = int(frame_samples)
+        self.batch_size = int(batch_size)
+
+        net: VQVAENet = task.net
+
+        @jax.jit
+        def _separate(params, frames):  # frames: (B, 4, F)
+            return net.apply({"params": params}, frames).output
+
+        self._separate = _separate
+
+    def separate(self, mixture: np.ndarray) -> np.ndarray:
+        """(T,) mixture → (4, T) stems. T is padded up to whole frames."""
+        mixture = np.asarray(mixture, np.float32).reshape(-1)
+        t = mixture.shape[0]
+        f = self.frame_samples
+        n_frames = -(-t // f)
+        padded = np.pad(mixture, (0, n_frames * f - t)).reshape(n_frames, f)
+
+        out_frames = []
+        for start in range(0, n_frames, self.batch_size):
+            chunk = padded[start:start + self.batch_size]
+            # fixed batch bucket → one compile; mask out padding rows
+            rows = chunk.shape[0]
+            if rows < self.batch_size:
+                chunk = np.pad(chunk, ((0, self.batch_size - rows), (0, 0)))
+            model_in = jnp.asarray(chunk)[:, None, :].repeat(4, axis=1)  # (B,4,F)
+            stems = np.asarray(self._separate(self.params, model_in))
+            out_frames.append(stems[:rows])
+        stems = np.concatenate(out_frames, axis=0)          # (n_frames, 4, F)
+        stems = stems.transpose(1, 0, 2).reshape(4, n_frames * f)
+        return stems[:, :t]
+
+    def encode_codes(self, mixture: np.ndarray) -> np.ndarray:
+        """(T,) mixture → (n_frames, W) codebook indices (for LM pipelines)."""
+        mixture = np.asarray(mixture, np.float32).reshape(-1)
+        f = self.frame_samples
+        n_frames = -(-mixture.shape[0] // f)
+        padded = np.pad(mixture, (0, n_frames * f - mixture.shape[0])).reshape(n_frames, f)
+        model_in = jnp.asarray(padded)[:, None, :].repeat(4, axis=1)
+        q = self.task.get_quantized(self.params, model_in)
+        return np.asarray(q.encoding_indices)
+
+
+class AudioGenerator:
+    """BERT-driven reconstruction/generation over codebook indices."""
+
+    def __init__(self, bert_task, bert_params, vqvae_task, vqvae_params):
+        self.bert_task = bert_task
+        self.bert_params = bert_params
+        self.vqvae_task = vqvae_task
+        self.vqvae_params = vqvae_params
+
+    def corrupt_and_generate(self, stems: np.ndarray, corrupt_stem: int,
+                             rng: np.random.Generator | None = None) -> np.ndarray:
+        """The reference generate() semantics (main.py:200-203): replace one
+        stem with noise, quantize through the frozen VQ-VAE, reconstruct
+        through BERT. stems: (B, 4, T) → (B, 4, T)."""
+        rng = rng or np.random.default_rng()
+        stems = np.asarray(stems, np.float32).copy()
+        stems[:, corrupt_stem, :] = rng.random(stems.shape[-1], dtype=np.float32)
+        q = self.vqvae_task.get_quantized(self.vqvae_params, jnp.asarray(stems))
+        out = self.bert_task.predict_step(self.bert_params,
+                                          (q.encoding_indices, jnp.asarray(stems)))
+        return np.asarray(out)
+
+    def decode_codes(self, indices: np.ndarray) -> np.ndarray:
+        """(B, W) code indices → (B, 4, T) stems straight through the VQ-VAE
+        decoder (autoregressive-sampling consumers plug in here)."""
+        net: VQVAENet = self.vqvae_task.net
+        out = net.apply({"params": self.vqvae_params}, jnp.asarray(indices, jnp.int32),
+                        method=VQVAENet.decode_indices)
+        return np.asarray(out)

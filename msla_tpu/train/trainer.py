@@ -90,6 +90,7 @@ class Trainer:
                  limit_test_batches: float = 1.0,
                  num_nodes: int = 1,
                  model_parallel: int = 1,
+                 precision: str = "medium",
                  seed: int = 0):
         self.default_root_dir = Path(default_root_dir)
         self.min_epochs = int(min_epochs or 0)
@@ -101,11 +102,18 @@ class Trainer:
         self.loggers = list(logger) if isinstance(logger, (list, tuple)) else ([logger] if logger else [])
         self.fast_dev_run = fast_dev_run
         self.detect_anomaly = detect_anomaly
-        self.profiler = _SimpleProfiler(profiler == "simple")
+        self.profiler = _SimpleProfiler(profiler in ("simple", "advanced"))
+        self._jax_trace = profiler == "jax"  # XLA-level trace (tensorboard viewer)
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
         self.limit_test_batches = limit_test_batches
         self.seed = seed
+        # torch.set_float32_matmul_precision surface (reference: main.py:23
+        # sets "medium"): medium → bf16 MXU passes, high → bf16_3x,
+        # highest → full fp32
+        self.matmul_precision = {"medium": "default", "high": "tensorfloat32",
+                                 "highest": "highest", "32": "highest"}.get(
+            str(precision), "default")
 
         self.devices = resolve_devices(accelerator, devices)
         self.mesh = make_mesh(self.devices, model_parallel)
@@ -178,16 +186,17 @@ class Trainer:
                                   lambda batch, rng: batch)
 
         def step_fn(state: TrainState, raw_batch: jax.Array) -> tuple[TrainState, dict]:
-            rng = jax.random.fold_in(base_rng, state.step)
-            raw_batch = train_transform(raw_batch, rng)
-            batch = datamodule.on_after_batch_transfer(raw_batch)
+            with jax.default_matmul_precision(self.matmul_precision):
+                rng = jax.random.fold_in(base_rng, state.step)
+                raw_batch = train_transform(raw_batch, rng)
+                batch = datamodule.on_after_batch_transfer(raw_batch)
 
-            def lf(params):
-                return model.loss_fn(params, batch, rng)
+                def lf(params):
+                    return model.loss_fn(params, batch, rng)
 
-            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+                (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
             return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
         return jax.jit(step_fn, donate_argnums=0)
@@ -222,9 +231,17 @@ class Trainer:
     def fit(self, model, datamodule, ckpt_path: str | None = None) -> None:
         if self.detect_anomaly:
             jax.config.update("jax_debug_nans", True)
+        trace_ctx = None
+        if self._jax_trace:
+            trace_dir = str(self.default_root_dir / "jax_trace")
+            log.info("Writing jax profiler trace to %s", trace_dir)
+            trace_ctx = jax.profiler.trace(trace_dir)
+            trace_ctx.__enter__()
         try:
             self._fit_inner(model, datamodule, ckpt_path)
         finally:
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
             if self.detect_anomaly:
                 jax.config.update("jax_debug_nans", False)
             if self.profiler.enabled and self.profiler.totals:
