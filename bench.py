@@ -104,8 +104,43 @@ def measure_torch_reference() -> dict:
     return result
 
 
+def measure_transformer_codes() -> float:
+    """codes/sec for the transformer forward over quantized latents
+    (BASELINE.json metric's second half). One 'code' = one latent position."""
+    import jax
+    import jax.numpy as jnp
+
+    from msla_tpu.models.transformer import TransformerTask
+
+    task = TransformerTask(sample_rate=22000, frame_length=2, learning_rate=1e-4,
+                           checkpoint_dir="/tmp/bench_t")
+    w = T // 4
+    rng = np.random.default_rng(0)
+    quantized = jnp.asarray(rng.standard_normal((BATCH, EMBEDDING_DIM, w)), jnp.float32)
+    params = task.net.init(jax.random.PRNGKey(0), quantized)["params"]
+
+    @jax.jit
+    def loop(params, q):
+        def body(i, carry):
+            out = task.net.apply({"params": params}, q + carry * 1e-12,
+                                 deterministic=True)
+            return carry + out[0, 0, 0]
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    float(loop(params, quantized))
+    t0 = time.perf_counter()
+    float(loop(params, quantized))
+    dt = time.perf_counter() - t0
+    return BATCH * w * ITERS / dt
+
+
 def main() -> None:
+    import os
+
     jax_sps = measure_jax()
+    if os.environ.get("BENCH_EXTRA"):
+        codes = measure_transformer_codes()
+        print(f"extra: transformer codes/sec = {codes:.0f}", file=sys.stderr)
     baseline = measure_torch_reference()
     base_sps = baseline.get("samples_per_sec")
     vs = (jax_sps / base_sps) if base_sps else None

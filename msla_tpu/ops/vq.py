@@ -35,7 +35,10 @@ def nearest_codes(flat_x: jax.Array, codebook: jax.Array, *, use_pallas: bool | 
     the |x|^2 term is constant per row and dropped — it cannot change the argmin.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # XLA's fusion of dot+argmin measures faster than the hand-written
+        # kernel on v5e (see ops/vq_pallas.py docstring) — default to it;
+        # pass use_pallas=True to select the Pallas kernel explicitly.
+        use_pallas = False
     if use_pallas:
         try:
             from msla_tpu.ops.vq_pallas import nearest_codes_pallas

@@ -11,6 +11,15 @@ the distance matrix never touches HBM, and the dot product runs on the MXU.
 The surrounding ``vector_quantize`` (msla_tpu.ops.vq) uses the kernel for the
 lookup only; quantized values come from a differentiable gather outside so
 codebook gradients (embedding loss) flow normally.
+
+Measured on v5e-1 at reference scale (N=704k, K=512, D=64): this kernel runs
+1.2 ms of MXU work + ~9 µs/tile of cross-lane argmin on the VPU → 6.1 ms
+total; XLA's own fusion of the jnp dot+argmin achieves 1.54 ms (the distance
+matrix provably never reaches HBM — 1.4 GB in 1.54 ms would exceed chip
+bandwidth 2×). The jnp path is therefore the production default
+(msla_tpu.ops.vq.nearest_codes); this kernel stays as the hand-scheduled
+alternative (use_pallas=True) and the target for future argmin-layout work
+(a sublane-major argmin variant currently fails Mosaic's shape-cast inference).
 """
 from __future__ import annotations
 
