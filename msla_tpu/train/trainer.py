@@ -218,14 +218,13 @@ class Trainer:
                 break
             with self.profiler.track(f"{mode}_step"):
                 metrics = eval_fn(self._state.params, shard_batch(self.mesh, raw))
-                metrics = {k: float(v) for k, v in metrics.items()}
-            for k, v in metrics.items():
-                sums[k] += v
+            for k, v in metrics.items():  # lazy device-scalar accumulation
+                sums[k] = sums[k] + v if k in sums else v
             count += 1
             if mode == "validation":
                 model.on_validation_batch_end(self, self._state.params,
                                               jnp.asarray(raw), batch_idx)
-        return {k: v / max(count, 1) for k, v in sums.items()}
+        return {k: float(v) / max(count, 1) for k, v in sums.items()}
 
     # ---- public API -------------------------------------------------------------
     def fit(self, model, datamodule, ckpt_path: str | None = None) -> None:
@@ -283,12 +282,13 @@ class Trainer:
                     if self.enable_progress_bar:
                         log.info("epoch %d step %d: %s", self.current_epoch, self.global_step,
                                  {k: round(v, 5) for k, v in host.items()})
-                # epoch aggregation happens on host after the step completes;
-                # metrics are tiny scalars so the transfer is negligible
+                # accumulate epoch metrics LAZILY as device scalars — a
+                # float() here would force a device sync every step
                 for k, v in metrics.items():
-                    epoch_sums[k] += float(v)
+                    epoch_sums[k] = epoch_sums[k] + v if k in epoch_sums else v
 
-            train_epoch = {k: v / max(epoch_count, 1) for k, v in epoch_sums.items()}
+            train_epoch = {k: float(v) / max(epoch_count, 1)
+                           for k, v in epoch_sums.items()}
             self.callback_metrics.update(train_epoch)
 
             with self.profiler.track("validation"):
