@@ -59,8 +59,18 @@ class TensorBoardLogger(Logger):
         self._writer.add_text("hparams", json.dumps(dict(params), default=str, indent=2))
 
     def log_audio(self, key: str, audio: np.ndarray, sample_rate: int, step: int) -> None:
-        self._writer.add_audio(key, np.asarray(audio).reshape(-1, 1), step,
-                               sample_rate=sample_rate)
+        try:
+            self._writer.add_audio(key, np.asarray(audio).reshape(-1, 1), step,
+                                   sample_rate=sample_rate)
+        except Exception:
+            # tensorboardX's audio encoder needs soundfile (absent here) —
+            # persist the clip next to the event files instead
+            from msla_tpu.data.wavio import write_wav
+
+            out = Path(self._writer.logdir) / "audio"
+            out.mkdir(parents=True, exist_ok=True)
+            safe = key.replace("/", "_").replace(" ", "_")
+            write_wav(out / f"{safe}_step{step}.wav", np.asarray(audio), sample_rate)
 
     def finalize(self, status: str = "success") -> None:
         self._writer.close()
