@@ -164,6 +164,24 @@ class Trainer:
         for lg in self.loggers:
             lg.log_metrics(metrics, step)
 
+    def _prefetched(self, loader, max_batches: int):
+        """Yield device-sharded batches one step ahead of consumption.
+
+        device_put dispatches asynchronously, so issuing batch i+1's
+        host→device transfer before batch i is consumed overlaps the copy
+        with device compute (double-buffered input pipeline).
+        """
+        prev_raw = prev_dev = None
+        for batch_idx, raw in enumerate(loader):
+            if batch_idx >= max_batches:
+                break
+            dev = shard_batch(self.mesh, raw)
+            if prev_dev is not None:
+                yield prev_raw, prev_dev
+            prev_raw, prev_dev = raw, dev
+        if prev_dev is not None:
+            yield prev_raw, prev_dev
+
     def _build_state(self, model, datamodule, sample_raw_batch, ckpt_path=None) -> None:
         self.datamodule = datamodule  # exposed to host-side hooks (audio demos)
         rng = jax.random.PRNGKey(self.seed)
@@ -213,11 +231,9 @@ class Trainer:
         sums: dict[str, float] = defaultdict(float)
         count = 0
         max_batches = self._limit(len(loader), 1 if self.fast_dev_run else limit)
-        for batch_idx, raw in enumerate(loader):
-            if batch_idx >= max_batches:
-                break
+        for batch_idx, (raw, dev_batch) in enumerate(self._prefetched(loader, max_batches)):
             with self.profiler.track(f"{mode}_step"):
-                metrics = eval_fn(self._state.params, shard_batch(self.mesh, raw))
+                metrics = eval_fn(self._state.params, dev_batch)
             for k, v in metrics.items():  # lazy device-scalar accumulation
                 sums[k] = sums[k] + v if k in sums else v
             count += 1
@@ -269,11 +285,10 @@ class Trainer:
             max_batches = self._limit(len(train_loader),
                                       1 if self.fast_dev_run else self.limit_train_batches)
             t_epoch = time.perf_counter()
-            for batch_idx, raw in enumerate(train_loader):
-                if batch_idx >= max_batches:
-                    break
+            for batch_idx, (_, dev_batch) in enumerate(
+                    self._prefetched(train_loader, max_batches)):
                 with self.profiler.track("train_step"):
-                    self._state, metrics = train_step(self._state, shard_batch(self.mesh, raw))
+                    self._state, metrics = train_step(self._state, dev_batch)
                 self.global_step += 1
                 epoch_count += 1
                 if self.log_every_n_steps and self.global_step % self.log_every_n_steps == 0:
