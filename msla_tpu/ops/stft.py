@@ -22,9 +22,17 @@ def hann_window(win_length: int) -> jnp.ndarray:
 
 
 def _frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(..., T) → (..., frames, n_fft) via gather (static shapes)."""
+    """(..., T) → (..., frames, n_fft) with static shapes.
+
+    For the 50%-overlap case (hop*2 == n_fft, the torch default) framing is
+    two reshaped views concatenated — no gather, so XLA emits pure layout
+    ops. General hops fall back to an index gather.
+    """
     t = x.shape[-1]
     n_frames = 1 + (t - n_fft) // hop
+    if hop * 2 == n_fft and t % hop == 0:
+        seg = x.reshape(x.shape[:-1] + (t // hop, hop))       # (..., S, hop)
+        return jnp.concatenate([seg[..., :-1, :], seg[..., 1:, :]], axis=-1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     return x[..., idx]
 
@@ -78,13 +86,28 @@ def istft(spec: jnp.ndarray, n_fft: int = 400, hop_length: int | None = None,
     total = n_fft + hop_length * (n_frames - 1)
     lead_shape = frames.shape[:-2]
 
-    # overlap-add + window-square normalization via scatter-add
-    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
-    flat = frames.reshape(lead_shape + (-1,))
-    out = jnp.zeros(lead_shape + (total,), frames.dtype).at[..., idx].add(flat)
+    if hop_length * 2 == n_fft:
+        # 50%-overlap fast path: OLA = shifted halves added — no scatter.
+        # out segment k = frames[k][:hop] + frames[k-1][hop:]
+        first = frames[..., :, :hop_length]
+        second = frames[..., :, hop_length:]
+        zeros = jnp.zeros(lead_shape + (1, hop_length), frames.dtype)
+        segs = (jnp.concatenate([first, zeros], axis=-2)
+                + jnp.concatenate([zeros, second], axis=-2))  # (..., S+1, hop)
+        out = segs.reshape(lead_shape + (total,))
 
-    wsq = jnp.zeros((total,), window.dtype).at[idx].add(
-        jnp.broadcast_to(window ** 2, (n_frames, n_fft)).reshape(-1))
+        w2 = (window ** 2).reshape(2, hop_length)
+        wseg = jnp.concatenate([w2[:1], jnp.broadcast_to(w2.sum(0), (n_frames - 1, hop_length)),
+                                w2[1:]], axis=0)
+        wsq = wseg.reshape(-1)
+    else:
+        # general hop: scatter-add overlap-add
+        idx = (np.arange(n_frames)[:, None] * hop_length
+               + np.arange(n_fft)[None, :]).reshape(-1)
+        flat = frames.reshape(lead_shape + (-1,))
+        out = jnp.zeros(lead_shape + (total,), frames.dtype).at[..., idx].add(flat)
+        wsq = jnp.zeros((total,), window.dtype).at[idx].add(
+            jnp.broadcast_to(window ** 2, (n_frames, n_fft)).reshape(-1))
     out = out / jnp.where(wsq > 1e-11, wsq, 1.0)
 
     if center:
