@@ -13,7 +13,6 @@ this module packages the same models behind production-shaped APIs:
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ into the conv epilogues on TPU.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from msla_tpu.nn.layers import Conv1d

@@ -10,7 +10,7 @@ runs randomly initialized.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 from flax import linen as nn
 
 from msla_tpu.nn.layers import torch_bias_init, torch_kernel_init

@@ -9,7 +9,6 @@ per-item on the CPU in DataLoader workers).
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 import logging
 import math
-from pathlib import Path
 from typing import Callable
 
 import yaml

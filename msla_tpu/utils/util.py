@@ -6,7 +6,7 @@ from __future__ import annotations
 import functools
 import warnings
 from pathlib import Path
-from typing import Any, Callable
+from typing import Callable
 
 from msla_tpu.config import ConfigNode
 from msla_tpu.utils.pylogger import RankedLogger
