@@ -108,10 +108,12 @@ class TransformerTask(TaskModule):
             datamodule = getattr(trainer, "datamodule", None)
             if datamodule is None or datamodule.quantize is None:
                 return
-            quantized, _ = datamodule.on_after_batch_transfer(
-                jnp.asarray(stems[index:index + 1]))
-            decoded = np.asarray(self.net.apply({"params": params}, quantized,
-                                                deterministic=True)[0])
+            if not hasattr(self, "_demo_fwd"):  # jit once (incl. the teacher)
+                self._demo_fwd = jax.jit(lambda p, raw: self.net.apply(
+                    {"params": p}, datamodule.on_after_batch_transfer(raw)[0],
+                    deterministic=True))
+            decoded = np.asarray(self._demo_fwd(params,
+                                                jnp.asarray(stems[index:index + 1]))[0])
 
             ckpt_dir = Path(self.hparams["checkpoint_dir"])
             ckpt_dir.mkdir(parents=True, exist_ok=True)

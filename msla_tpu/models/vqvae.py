@@ -134,9 +134,11 @@ class VQVAETask(TaskModule):
             mixture = stems.sum(axis=1, keepdims=True)
             model_in = np.broadcast_to(mixture, stems.shape)
             index = random.randint(0, stems.shape[0] - 1)
-            out = self.net.apply({"params": params},
-                                 jnp.asarray(model_in[index:index + 1]))
-            decoded = np.asarray(out.output[0])
+            if not hasattr(self, "_demo_fwd"):  # jit once; eager apply would
+                self._demo_fwd = jax.jit(      # dispatch op-by-op every epoch
+                    lambda p, x: self.net.apply({"params": p}, x).output)
+            decoded = np.asarray(self._demo_fwd(params,
+                                                jnp.asarray(model_in[index:index + 1]))[0])
             original = stems[index]
 
             ckpt_dir = Path(self.hparams["checkpoint_dir"])
