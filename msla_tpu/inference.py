@@ -100,3 +100,54 @@ class AudioGenerator:
         out = net.apply({"params": self.vqvae_params}, jnp.asarray(indices, jnp.int32),
                         method=VQVAENet.decode_indices)
         return np.asarray(out)
+
+    def sample_codes(self, width: int, batch: int = 1, rounds: int = 4,
+                     seed: int = 0, prompt: np.ndarray | None = None) -> np.ndarray:
+        """Iterative masked code sampling (BASELINE north star's
+        "code sampling → decode" generation path).
+
+        MaskGIT-style refinement over the masked-LM: start from all-[MASK]
+        (or a partial `prompt` with -1 at unknown positions), repeatedly run
+        the Audio-BERT forward mapping, keep the most-confident fraction of
+        positions each round and re-mask the rest. Returns (B, width) codebook
+        indices; feed to decode_codes for waveforms.
+        """
+        import jax
+
+        cfg = self.bert_task.config
+        rng = np.random.default_rng(seed)
+        codes = np.full((batch, width), -1, np.int64)
+        if prompt is not None:
+            codes[:, :] = prompt
+
+        params = self.bert_params
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+
+        for r in range(rounds):
+            unknown = codes < 0
+            tokens = np.where(unknown, cfg.mask_token_id, codes)
+            proposal = np.asarray(self.bert_task.code_proposals(
+                params, jnp.asarray(tokens, jnp.int32)))
+            codes_new, confidence = proposal[..., 0].astype(np.int64), proposal[..., 1]
+            if r == rounds - 1:
+                codes = np.where(unknown, codes_new, codes)
+                break
+            # keep the most confident fraction of the still-unknown positions
+            keep_frac = (r + 1) / rounds
+            for b in range(batch):
+                unk_idx = np.flatnonzero(unknown[b])
+                if unk_idx.size == 0:
+                    continue
+                order = np.argsort(-confidence[b, unk_idx]
+                                   + 1e-6 * rng.standard_normal(unk_idx.size))
+                n_keep = max(1, int(keep_frac * unk_idx.size))
+                chosen = unk_idx[order[:n_keep]]
+                codes[b, chosen] = codes_new[b, chosen]
+        return codes.astype(np.int64)
+
+    def generate_waveform(self, width: int, batch: int = 1, rounds: int = 4,
+                          seed: int = 0) -> np.ndarray:
+        """Sample codes and decode them to (B, 4, T) stems."""
+        codes = self.sample_codes(width, batch=batch, rounds=rounds, seed=seed)
+        return self.decode_codes(codes)

@@ -183,6 +183,43 @@ class AudioBertTask(TaskModule):
         quantized_bcw = jnp.swapaxes(quantized, -1, -2)  # (B, 64, W)
         return self.head.apply({"params": params["head"]}, quantized_bcw)
 
+    def code_proposals(self, params, tokens: jax.Array) -> jax.Array:
+        """(B, W) token ids → (B, W, 2) [code_id, confidence] per position.
+
+        Backs the iterative code-sampling generation path
+        (msla_tpu.inference.AudioGenerator.sample_codes): the same chunked
+        BERT forward and argmax→rescale code mapping as `forward`, plus the
+        softmax confidence of each argmax pick.
+        """
+        b, w = tokens.shape
+        n_chunks = -(-w // MAX_HIDDEN_SIZE)
+        padded = n_chunks * MAX_HIDDEN_SIZE
+        toks = jnp.pad(tokens.astype(jnp.int32), ((0, 0), (0, padded - w)),
+                       constant_values=self.config.pad_token_id)
+        attn = jnp.pad(jnp.ones((b, w), jnp.float32), ((0, 0), (0, padded - w)))
+        toks = toks.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
+        attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
+        bert_params = params["bert"]
+
+        def chunk_step(_, tok_attn):
+            tok, am = tok_attn
+            logits = self.bert.apply({"params": bert_params}, tok, am,
+                                     deterministic=True)
+            probs = jax.nn.softmax(logits, axis=-1)
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            conf = jnp.max(probs, axis=-1)
+            return None, (ids, conf)
+
+        _, (ids, conf) = jax.lax.scan(chunk_step, None, (toks, attn))
+        ids = ids.swapaxes(0, 1).reshape(b, padded)[:, :w]
+        conf = conf.swapaxes(0, 1).reshape(b, padded)[:, :w]
+
+        flat = ids.reshape(-1).astype(jnp.float32)
+        denom = jnp.maximum(flat.max(), 1.0)  # same rescale mapping as forward
+        code_ids = jnp.round(flat / denom * (MAX_HIDDEN_SIZE - 1)).astype(jnp.int32)
+        code_ids = jnp.clip(code_ids, 0, params["codebook"].shape[0] - 1)
+        return jnp.stack([code_ids.reshape(b, w).astype(jnp.float32), conf], axis=-1)
+
     # ---- steps -------------------------------------------------------------------
     def loss_fn(self, params, batch, rng):
         indices, instruments = batch
