@@ -38,20 +38,25 @@ class VQVAETask(TaskModule):
                  sample_rate: int,
                  checkpoint_dir: str,
                  codebook_file: str,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 compute_dtype: str | None = None):
+        """compute_dtype: "bfloat16" runs the conv stacks in bf16 (params and
+        VQ math stay fp32); enable via +model.vqvae.compute_dtype=bfloat16."""
         self.hparams = dict(num_hidden=num_hidden, num_residual_layer=num_residual_layer,
                             num_residual_hidden=num_residual_hidden,
                             num_embedding=num_embedding, embedding_dim=embedding_dim,
                             commitment_cost=commitment_cost, learning_rate=learning_rate,
                             sample_rate=sample_rate, checkpoint_dir=str(checkpoint_dir),
-                            codebook_file=str(codebook_file))
+                            codebook_file=str(codebook_file),
+                            compute_dtype=compute_dtype)
         self.net = VQVAENet(num_hidden=num_hidden,
                             num_residual_layer=num_residual_layer,
                             num_residual_hidden=num_residual_hidden,
                             num_embedding=num_embedding,
                             embedding_dim=embedding_dim,
                             commitment_cost=commitment_cost,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            compute_dtype=compute_dtype)
 
     # ---- pure steps -----------------------------------------------------------
     def init_variables(self, rng, batch):

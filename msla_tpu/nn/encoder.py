@@ -16,13 +16,16 @@ class Encoder(nn.Module):
     num_hidden: int
     num_residual_layer: int
     num_residual_hidden: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = jax.nn.relu(Conv1d(self.num_hidden // 2, kernel_size=4, stride=2, padding=1,
-                               name="conv1")(x))
+                               dtype=self.dtype, name="conv1")(x))
         x = jax.nn.relu(Conv1d(self.num_hidden, kernel_size=4, stride=2, padding=1,
-                               name="conv2")(x))
-        x = Conv1d(self.num_hidden, kernel_size=3, stride=1, padding=1, name="conv3")(x)
+                               dtype=self.dtype, name="conv2")(x))
+        x = Conv1d(self.num_hidden, kernel_size=3, stride=1, padding=1, dtype=self.dtype,
+                   name="conv3")(x)
         return ResidualStack(self.num_hidden, self.num_residual_layer,
-                             self.num_residual_hidden, name="residual_stack")(x)
+                             self.num_residual_hidden, dtype=self.dtype,
+                             name="residual_stack")(x)

@@ -31,7 +31,11 @@ def torch_bias_init(fan_in: int):
 
 
 class Conv1d(nn.Module):
-    """NWC 1-D convolution matching torch.nn.Conv1d(k, s, p) semantics."""
+    """NWC 1-D convolution matching torch.nn.Conv1d(k, s, p) semantics.
+
+    ``dtype`` sets the compute dtype (params stay fp32): bfloat16 halves the
+    activation HBM traffic on TPU.
+    """
 
     features: int
     kernel_size: int
@@ -39,6 +43,7 @@ class Conv1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     fan_in: int | None = None  # in_channels * kernel_size, for bias init
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -51,6 +56,7 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -67,6 +73,7 @@ class ConvTranspose1d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -84,6 +91,7 @@ class ConvTranspose1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
             transpose_kernel=True,
             name="conv",
         )(x)

@@ -16,6 +16,7 @@ class ResidualStack(nn.Module):
     num_hidden: int
     num_residual_layer: int
     num_residual_hidden: int
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -27,9 +28,9 @@ class ResidualStack(nn.Module):
             # tests/test_parity_torch.py).
             x = jax.nn.relu(x)
             h = Conv1d(self.num_residual_hidden, kernel_size=3, stride=1, padding=1,
-                       use_bias=False, name=f"block{i}_conv3")(x)
+                       use_bias=False, dtype=self.dtype, name=f"block{i}_conv3")(x)
             h = jax.nn.relu(h)
             h = Conv1d(self.num_hidden, kernel_size=1, stride=1, padding=0,
-                       use_bias=False, name=f"block{i}_conv1")(h)
+                       use_bias=False, dtype=self.dtype, name=f"block{i}_conv1")(h)
             x = x + h
         return jax.nn.relu(x)

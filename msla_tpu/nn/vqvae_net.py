@@ -39,21 +39,25 @@ class VQVAENet(nn.Module):
     embedding_dim: int
     commitment_cost: float
     use_pallas: bool | None = None
+    #: conv compute dtype ("bfloat16" halves activation HBM traffic; params
+    #: and the VQ distance/loss math stay fp32 for code-index parity)
+    compute_dtype: str | None = None
 
     def setup(self):
         self.encoder = Encoder(self.num_hidden, self.num_residual_layer,
-                               self.num_residual_hidden)
+                               self.num_residual_hidden, dtype=self.compute_dtype)
         # 1×1 conv projecting hidden → embedding dim (reference: vqvae.py:44)
-        self.pre_vq_conv = Conv1d(self.embedding_dim, kernel_size=1, stride=1, padding=0)
+        self.pre_vq_conv = Conv1d(self.embedding_dim, kernel_size=1, stride=1, padding=0,
+                                  dtype=self.compute_dtype)
         self.vector_quantizer = VectorQuantizer(self.num_embedding, self.embedding_dim,
                                                 self.commitment_cost, self.use_pallas)
         self.decoder = Decoder(self.num_hidden, self.num_residual_layer,
-                               self.num_residual_hidden)
+                               self.num_residual_hidden, dtype=self.compute_dtype)
 
     def encode(self, x_bcw: jax.Array) -> jax.Array:
         """(B, 4, T) → (B, W, embedding_dim) pre-quantization latents (NWC)."""
         x = jnp.swapaxes(x_bcw, -1, -2)  # BCW → NWC, once at the boundary
-        return self.pre_vq_conv(self.encoder(x))
+        return self.pre_vq_conv(self.encoder(x)).astype(jnp.float32)
 
     def __call__(self, x_bcw: jax.Array) -> VQVAEOutput:
         """Forward pass (reference: vqvae.py:81-86)."""
