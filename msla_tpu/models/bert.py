@@ -64,12 +64,13 @@ class AudioBertTask(TaskModule):
                  frame_length: int,
                  num_embedding: int,
                  pretrained_weights: str | None = None,
-                 mask_prob: float = 0.15):
+                 mask_prob: float = 0.15,
+                 compute_dtype: str | None = None):
         self.hparams = dict(learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
                             codebook=str(codebook), sample_rate=sample_rate,
                             frame_length=frame_length, num_embedding=num_embedding,
-                            mask_prob=mask_prob)
-        self.config = BertConfig()
+                            mask_prob=mask_prob, compute_dtype=compute_dtype)
+        self.config = BertConfig(compute_dtype=compute_dtype)
         self.bert = BertForMaskedLM(self.config)
         self.head = AudioBertHead(output_dim=sample_rate * frame_length)
         self.mask_prob = float(mask_prob)

@@ -37,18 +37,20 @@ class TransformerTask(TaskModule):
                  num_heads: int = 8,
                  hidden_dim: int = 512,
                  positional_mode: str = "reference",
-                 dropout: float = 0.1):
+                 dropout: float = 0.1,
+                 compute_dtype: str | None = None):
         output_dim = sample_rate * frame_length
         input_dim = output_dim // 4
         self.hparams = dict(sample_rate=sample_rate, frame_length=frame_length,
                             learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
                             num_layers=num_layers, num_heads=num_heads,
                             hidden_dim=hidden_dim, positional_mode=positional_mode,
-                            dropout=dropout)
+                            dropout=dropout, compute_dtype=compute_dtype)
         self.net = TransformerQuantizerNet(input_dim=input_dim, output_dim=output_dim,
                                            hidden_dim=hidden_dim, num_layers=num_layers,
                                            num_heads=num_heads, dropout=dropout,
-                                           positional_mode=positional_mode)
+                                           positional_mode=positional_mode,
+                                           compute_dtype=compute_dtype)
 
     def init_variables(self, rng, batch):
         quantized, _ = batch

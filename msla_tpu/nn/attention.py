@@ -19,6 +19,7 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, query: jax.Array, key: jax.Array, value: jax.Array,
@@ -31,11 +32,11 @@ class MultiHeadAttention(nn.Module):
         # torch packs q/k/v projections into one (3E, E) in_proj — we keep
         # three Dense layers; utils.torch_compat slices the packed weight.
         q = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
-                     name="q_proj")(query)
+                     dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
-                     name="k_proj")(key)
+                     dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
-                     name="v_proj")(value)
+                     dtype=self.dtype, name="v_proj")(value)
 
         q = q.reshape(b, s_q, h, head_dim).transpose(0, 2, 1, 3)  # (B,H,S,hd)
         k = k.reshape(b, s_k, h, head_dim).transpose(0, 2, 1, 3)
@@ -54,7 +55,7 @@ class MultiHeadAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, s_q, e)
         return nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
-                        name="out_proj")(out)
+                        dtype=self.dtype, name="out_proj")(out).astype(jnp.float32)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:

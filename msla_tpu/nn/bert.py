@@ -35,6 +35,8 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.1
+    #: compute dtype for the matmul-heavy blocks (params stay fp32)
+    compute_dtype: str | None = None
 
     # canonical bert-base-uncased special token ids (reference: bert.py:36-38
     # obtains them from BertTokenizer; the vocab is fixed so they are constants)
@@ -70,15 +72,17 @@ class BertLayer(nn.Module):
         drop = lambda a: nn.Dropout(c.hidden_dropout_prob)(a, deterministic=deterministic)
 
         attn = MultiHeadAttention(c.hidden_size, c.num_attention_heads,
-                                  name="attention")(x, x, x, mask=attn_bias,
+                                  dtype=c.compute_dtype, name="attention")(x, x, x, mask=attn_bias,
                                                     deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_norm")(x + drop(attn))
 
         h = nn.Dense(c.intermediate_size, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(c.hidden_size), name="intermediate")(x)
+                     bias_init=torch_bias_init(c.hidden_size), dtype=c.compute_dtype,
+                     name="intermediate")(x)
         h = jax.nn.gelu(h, approximate=False)  # HF BERT uses erf-gelu
         h = nn.Dense(c.hidden_size, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(c.intermediate_size), name="output")(h)
+                     bias_init=torch_bias_init(c.intermediate_size), dtype=c.compute_dtype,
+                     name="output")(h).astype(jnp.float32)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_norm")(x + drop(h))
 
 

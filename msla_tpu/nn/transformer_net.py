@@ -31,6 +31,7 @@ class DecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     zero_memory: bool = True
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array | None, mask: jax.Array,
@@ -38,7 +39,7 @@ class DecoderLayer(nn.Module):
         dropout = lambda a: nn.Dropout(self.dropout)(a, deterministic=deterministic)
 
         sa = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
-                                name="self_attn")(x, x, x, mask=mask,
+                                dtype=self.dtype, name="self_attn")(x, x, x, mask=mask,
                                                   deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + dropout(sa))
 
@@ -49,15 +50,17 @@ class DecoderLayer(nn.Module):
             ca = jnp.broadcast_to(bias, x.shape)
         else:
             ca = MultiHeadAttention(self.d_model, self.num_heads, self.dropout,
-                                    name="cross_attn")(x, memory, memory,
+                                    dtype=self.dtype, name="cross_attn")(x, memory, memory,
                                                        deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + dropout(ca))
 
         h = nn.Dense(self.dim_feedforward, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.d_model), name="linear1")(x)
+                     bias_init=torch_bias_init(self.d_model), dtype=self.dtype,
+                     name="linear1")(x)
         h = dropout(jax.nn.relu(h))
         h = nn.Dense(self.d_model, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.dim_feedforward), name="linear2")(h)
+                     bias_init=torch_bias_init(self.dim_feedforward), dtype=self.dtype,
+                     name="linear2")(h).astype(jnp.float32)
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + dropout(h))
 
 
@@ -72,22 +75,26 @@ class TransformerQuantizerNet(nn.Module):
     dropout: float = 0.1
     positional_mode: str = "reference"
     zero_memory: bool = True
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, quantized: jax.Array, deterministic: bool = True) -> jax.Array:
         """(B, S=latent channels, input_dim) → (B, 4, output_dim)."""
         b, s, _ = quantized.shape
         x = nn.Dense(self.hidden_dim, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.input_dim), name="embedding")(quantized)
+                     bias_init=torch_bias_init(self.input_dim), dtype=self.compute_dtype,
+                     name="embedding")(quantized).astype(jnp.float32)
         x = PositionalEncoding(self.hidden_dim, mode=self.positional_mode,
                                name="positional_encoding")(x)
         mask = causal_mask(s, x.dtype)
         for i in range(self.num_layers):
             x = DecoderLayer(self.hidden_dim, self.num_heads, dropout=self.dropout,
-                             zero_memory=self.zero_memory, name=f"layer{i}")(
+                             zero_memory=self.zero_memory, dtype=self.compute_dtype,
+                             name=f"layer{i}")(
                 x, None, mask, deterministic=deterministic)
         # (B, S, hidden) → (B, 4, S*hidden/4) → Linear to waveform
         x = x.reshape(b, 4, (s * self.hidden_dim) // 4)
-        return nn.Dense(self.output_dim, kernel_init=torch_kernel_init,
-                        bias_init=torch_bias_init((self.hidden_dim * s) // 4),
-                        name="fc")(x)
+        out = nn.Dense(self.output_dim, kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init((self.hidden_dim * s) // 4),
+                       dtype=self.compute_dtype, name="fc")(x)
+        return out.astype(jnp.float32)
