@@ -59,8 +59,9 @@ def nearest_codes_pallas(flat_x: jax.Array, codebook: jax.Array,
     """(N, D) fp32 × (K, D) fp32 → (N,) int32 nearest-codebook indices."""
     n, d = flat_x.shape
     k = codebook.shape[0]
-    # keep the (ROWS, K) distance block + inputs comfortably inside VMEM
-    tile_rows = min(tile_rows, max(_OUT_SUBLANES * 128, 1))
+    if n < tile_rows:  # shrink the tile for small inputs (sublane-aligned)
+        tile_rows = max(_OUT_SUBLANES,
+                        -(-n // _OUT_SUBLANES) * _OUT_SUBLANES)
     num_tiles = pl.cdiv(n, tile_rows)
     n_pad = num_tiles * tile_rows
     lanes = tile_rows // _OUT_SUBLANES
