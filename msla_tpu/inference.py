@@ -38,17 +38,26 @@ class SourceSeparator:
 
         self._separate = _separate
 
-    def separate(self, mixture: np.ndarray) -> np.ndarray:
-        """(T,) mixture → (4, T) stems. T is padded up to whole frames."""
+    def separate(self, mixture: np.ndarray, overlap: bool = False) -> np.ndarray:
+        """(T,) mixture → (4, T) stems. T is padded up to whole frames.
+
+        overlap=True separates 50%-overlapped frames and cross-fades them
+        with a triangular window — removes frame-boundary discontinuities at
+        2× the compute (production-quality mode; the reference has no
+        full-song path at all).
+        """
         mixture = np.asarray(mixture, np.float32).reshape(-1)
         t = mixture.shape[0]
         f = self.frame_samples
-        n_frames = -(-t // f)
-        padded = np.pad(mixture, (0, n_frames * f - t)).reshape(n_frames, f)
+        hop = f // 2 if overlap else f
+        n_frames = max(1, -(-max(t - f, 0) // hop) + 1)
+        total = (n_frames - 1) * hop + f
+        padded_sig = np.pad(mixture, (0, total - t))
+        frames = np.stack([padded_sig[i * hop: i * hop + f] for i in range(n_frames)])
 
         out_frames = []
         for start in range(0, n_frames, self.batch_size):
-            chunk = padded[start:start + self.batch_size]
+            chunk = frames[start:start + self.batch_size]
             # fixed batch bucket → one compile; mask out padding rows
             rows = chunk.shape[0]
             if rows < self.batch_size:
@@ -56,9 +65,21 @@ class SourceSeparator:
             model_in = jnp.asarray(chunk)[:, None, :].repeat(4, axis=1)  # (B,4,F)
             stems = np.asarray(self._separate(self.params, model_in))
             out_frames.append(stems[:rows])
-        stems = np.concatenate(out_frames, axis=0)          # (n_frames, 4, F)
-        stems = stems.transpose(1, 0, 2).reshape(4, n_frames * f)
-        return stems[:, :t]
+        sep = np.concatenate(out_frames, axis=0)  # (n_frames, 4, F)
+
+        if not overlap:
+            stems = sep.transpose(1, 0, 2).reshape(4, n_frames * f)
+            return stems[:, :t]
+
+        # triangular cross-fade overlap-add with weight normalization
+        window = np.bartlett(f).astype(np.float32) + 1e-3
+        out = np.zeros((4, total), np.float32)
+        weight = np.zeros(total, np.float32)
+        for i in range(n_frames):
+            sl = slice(i * hop, i * hop + f)
+            out[:, sl] += sep[i] * window
+            weight[sl] += window
+        return (out / weight).astype(np.float32)[:, :t]
 
     def encode_codes(self, mixture: np.ndarray) -> np.ndarray:
         """(T,) mixture → (n_frames, W) codebook indices (for LM pipelines)."""

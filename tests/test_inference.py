@@ -34,6 +34,20 @@ def test_separator_full_song(tmp_path):
     np.testing.assert_allclose(joint[:, 2000:], b, rtol=1e-5, atol=1e-6)
 
 
+def test_separator_overlap_mode(tmp_path):
+    task, params = make_vqvae(tmp_path)
+    sep = SourceSeparator(task, params, frame_samples=2000, batch_size=4)
+    song = np.random.default_rng(3).standard_normal(7000).astype(np.float32)
+    stems = sep.separate(song, overlap=True)
+    assert stems.shape == (4, 7000)
+    assert np.isfinite(stems).all()
+    # overlap mode stays close to disjoint mode away from frame boundaries
+    plain = sep.separate(song)
+    mid = slice(500, 1500)  # interior of frame 0
+    corr = np.corrcoef(stems[0, mid], plain[0, mid])[0, 1]
+    assert corr > 0.5
+
+
 def test_separator_encode_codes(tmp_path):
     task, params = make_vqvae(tmp_path)
     sep = SourceSeparator(task, params, frame_samples=2000)
