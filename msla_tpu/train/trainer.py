@@ -338,10 +338,29 @@ class Trainer:
         return self._eval_entry(model, datamodule, mode,
                                 datamodule.test_dataloader(), self.limit_test_batches, ckpt_path)
 
+    def _resolve_ckpt_path(self, ckpt_path):
+        """Lightning semantics: "best"/"last" resolve through the checkpoint
+        callback; None keeps the current weights."""
+        if ckpt_path in ("best", "last"):
+            from msla_tpu.train.callbacks import ModelCheckpoint
+
+            for cb in self.callbacks:
+                if isinstance(cb, ModelCheckpoint):
+                    if ckpt_path == "best" and cb.best_model_path:
+                        return cb.best_model_path
+                    if ckpt_path == "last":
+                        last = cb.dirpath / "last.ckpt"
+                        if last.exists():
+                            return str(last)
+            raise RuntimeError(f"ckpt_path='{ckpt_path}' requested but no "
+                               "ModelCheckpoint callback has a saved checkpoint")
+        return ckpt_path
+
     def _eval_entry(self, model, datamodule, mode, loader, limit, ckpt_path) -> dict:
         if self._state is None or self._model is not model:
             first_raw = next(iter(loader))
             self._build_state(model, datamodule, first_raw, None)
+        ckpt_path = self._resolve_ckpt_path(ckpt_path)
         if ckpt_path:
             self._restore(ckpt_path)
         eval_fn = self._make_eval_step(model, datamodule, mode)

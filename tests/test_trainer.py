@@ -104,6 +104,23 @@ def test_resume_from_checkpoint(fixture_root, tmp_path):
     assert payload["epoch"] == 1
 
 
+def test_validate_and_ckpt_best(fixture_root, tmp_path):
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    ckpt_cb = ModelCheckpoint(dirpath=str(tmp_path / "best"), filename="best_vqvae",
+                              monitor="validation/loss")
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, callbacks=[ckpt_cb])
+    trainer.fit(task, dm)
+    metrics = trainer.validate(task, dm)
+    assert "validation/loss" in metrics
+    # Lightning-style ckpt_path="best" resolves through the callback
+    test_metrics = trainer.test(task, dm, ckpt_path="best")
+    assert "test/loss" in test_metrics
+    with pytest.raises(RuntimeError):
+        Trainer(accelerator="cpu")._resolve_ckpt_path("best")
+
+
 def test_early_stopping_semantics():
     class FakeTrainer:
         def save_checkpoint(self, path):
