@@ -62,17 +62,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_pad = False
+
+
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
     """Host numpy batch → device array sharded over the data axis.
 
     Pads the batch to a multiple of the data-axis size if needed (only
-    happens on non-drop_last loaders); callers that care mask via batch size.
+    happens on non-drop_last loaders) by repeating the last example; batch-
+    mean metrics over a padded batch are slightly biased toward it, so a
+    one-time warning is emitted.
     """
+    global _warned_pad
     arr = np.asarray(batch)
     n_data = mesh.shape[DATA_AXIS]
     if arr.shape[0] % n_data != 0:
         pad = n_data - arr.shape[0] % n_data
         arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+        if not _warned_pad:
+            _warned_pad = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batch of %d padded to %d for the %d-way data mesh — "
+                "batch-mean metrics include the duplicated tail example",
+                arr.shape[0] - pad, arr.shape[0], n_data)
     return jax.device_put(arr, batch_sharding(mesh))
 
 
