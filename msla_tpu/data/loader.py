@@ -57,18 +57,33 @@ class DataLoader:
             return
 
         q: queue.Queue = queue.Queue(maxsize=2)
-        stop = object()
+        done = object()
+        abandoned = threading.Event()
 
         def producer():
             for idx in batches:
-                q.put(self._assemble(idx))
-            q.put(stop)
+                item = self._assemble(idx)
+                # bounded put that notices an abandoned consumer (e.g. a
+                # fast_dev_run or limit_*_batches break) — otherwise the
+                # thread would block on the full queue forever
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
+            q.put(done)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                yield item
+        finally:
+            abandoned.set()
+            thread.join(timeout=5)

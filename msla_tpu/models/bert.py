@@ -173,8 +173,11 @@ class AudioBertTask(TaskModule):
         # the reference flattens across the whole batch before taking max
         flat = ids.reshape(-1).astype(jnp.float32)
         denom = jnp.maximum(flat.max(), 1.0)  # reference NaNs on all-zero argmax
-        code_ids = jnp.round(flat / denom * (MAX_HIDDEN_SIZE - 1)).astype(jnp.int32)
-        code_ids = jnp.clip(code_ids, 0, params["codebook"].shape[0] - 1)
+        # the reference scales by max_hidden_size-1 = 511, which only
+        # coincidentally equals num_embedding-1 at default config (and would
+        # crash its scatter for smaller codebooks) — scale by the actual
+        # codebook range instead (SURVEY §2 quirk 4, built-to-intent)
+        code_ids = jnp.round(flat / denom * (params["codebook"].shape[0] - 1)).astype(jnp.int32)
 
         # the codebook is a buffer, not a parameter (reference: bert.py:32
         # builds it with requires_grad=False) — no gradient flows into it
@@ -217,8 +220,11 @@ class AudioBertTask(TaskModule):
 
         flat = ids.reshape(-1).astype(jnp.float32)
         denom = jnp.maximum(flat.max(), 1.0)  # same rescale mapping as forward
-        code_ids = jnp.round(flat / denom * (MAX_HIDDEN_SIZE - 1)).astype(jnp.int32)
-        code_ids = jnp.clip(code_ids, 0, params["codebook"].shape[0] - 1)
+        # the reference scales by max_hidden_size-1 = 511, which only
+        # coincidentally equals num_embedding-1 at default config (and would
+        # crash its scatter for smaller codebooks) — scale by the actual
+        # codebook range instead (SURVEY §2 quirk 4, built-to-intent)
+        code_ids = jnp.round(flat / denom * (params["codebook"].shape[0] - 1)).astype(jnp.int32)
         return jnp.stack([code_ids.reshape(b, w).astype(jnp.float32), conf], axis=-1)
 
     # ---- steps -------------------------------------------------------------------
@@ -261,43 +267,17 @@ class AudioBertTask(TaskModule):
         """Audio demo table (reference: bert.py:169-232)."""
         if batch_idx != 0 or not trainer.loggers:
             return
-        try:
-            from msla_tpu.data.wavio import write_wav
+        from msla_tpu.models.demo import log_audio_demo
 
-            stems = np.asarray(batch)
-            index = random.randint(0, stems.shape[0] - 1)
-            original = stems[index]
-            datamodule = getattr(trainer, "datamodule", None)
-            if datamodule is None or datamodule.quantize is None:
-                return
-            if not hasattr(self, "_demo_fwd"):  # jit once (incl. the teacher)
-                self._demo_fwd = jax.jit(lambda p, raw: self.forward(
-                    p, datamodule.on_after_batch_transfer(raw)[0], train=False))
-            decoded = np.asarray(self._demo_fwd(params,
-                                                jnp.asarray(stems[index:index + 1]))[0])
-
-            ckpt_dir = Path(self.hparams["checkpoint_dir"])
-            ckpt_dir.mkdir(parents=True, exist_ok=True)
-            sr = int(self.hparams["sample_rate"])
-            data: list[list] = [[], []]
-            for idx, name in enumerate(INSTRUMENTS):
-                orig_file = ckpt_dir / f"original_{name}.wav"
-                dec_file = ckpt_dir / f"generated_{name}.wav"
-                write_wav(orig_file, original[idx], sr)
-                write_wav(dec_file, decoded[idx], sr)
-                data[0].append(str(orig_file))
-                data[1].append(str(dec_file))
-            orig_full = ckpt_dir / "original_full_song.wav"
-            dec_full = ckpt_dir / "generated_full_song.wav"
-            write_wav(orig_full, original.sum(axis=0), sr)
-            write_wav(dec_full, decoded.sum(axis=0), sr)
-            data[0].append(str(orig_full))
-            data[1].append(str(dec_full))
-            columns = ["bass vs D(bass)", "drums vs D(drums)", "guitar vs D(guitar)",
-                       "piano vs D(piano)", "mixed vs D(mixed)"]
-            for lg in trainer.loggers:
-                lg.log_table(f"DEMO EPOCH [{trainer.current_epoch}]", columns, data)
-        except Exception as err:
-            log.warning("Exception while executing -on validation batch end- during "
-                        "bert training")
-            log.warning("%s", err)
+        stems = np.asarray(batch)
+        index = random.randint(0, stems.shape[0] - 1)
+        datamodule = getattr(trainer, "datamodule", None)
+        if datamodule is None or datamodule.quantize is None:
+            return
+        if not hasattr(self, "_demo_fwd"):  # jit once (incl. the teacher)
+            self._demo_fwd = jax.jit(lambda p, raw: self.forward(
+                p, datamodule.on_after_batch_transfer(raw)[0], train=False))
+        decode = lambda: np.asarray(self._demo_fwd(
+            params, jnp.asarray(stems[index:index + 1]))[0])
+        log_audio_demo(trainer, self.hparams["checkpoint_dir"],
+                       int(self.hparams["sample_rate"]), stems[index], decode, "bert")

@@ -96,49 +96,22 @@ class TransformerTask(TaskModule):
     def on_validation_batch_end(self, trainer, params, batch, batch_idx: int) -> None:
         """Audio demo table (reference: transformer.py:143-204). `batch` is the
         raw (B,4,T) stems; the quantized input is rebuilt via the datamodule's
-        teacher inside the eval step, so here we only need the demo forward."""
+        teacher inside the jitted demo forward."""
         if batch_idx != 0 or not trainer.loggers:
             return
-        try:
-            from msla_tpu.data.wavio import write_wav
+        from msla_tpu.models.demo import log_audio_demo
 
-            stems = np.asarray(batch)
-            index = random.randint(0, stems.shape[0] - 1)
-            original = stems[index]
-
-            # demo forward needs the teacher-quantized input for this item
-            datamodule = getattr(trainer, "datamodule", None)
-            if datamodule is None or datamodule.quantize is None:
-                return
-            if not hasattr(self, "_demo_fwd"):  # jit once (incl. the teacher)
-                self._demo_fwd = jax.jit(lambda p, raw: self.net.apply(
-                    {"params": p}, datamodule.on_after_batch_transfer(raw)[0],
-                    deterministic=True))
-            decoded = np.asarray(self._demo_fwd(params,
-                                                jnp.asarray(stems[index:index + 1]))[0])
-
-            ckpt_dir = Path(self.hparams["checkpoint_dir"])
-            ckpt_dir.mkdir(parents=True, exist_ok=True)
-            sr = int(self.hparams["sample_rate"])
-            data: list[list] = [[], []]
-            for idx, name in enumerate(INSTRUMENTS):
-                orig_file = ckpt_dir / f"original_{name}.wav"
-                dec_file = ckpt_dir / f"generated_{name}.wav"
-                write_wav(orig_file, original[idx], sr)
-                write_wav(dec_file, decoded[idx], sr)
-                data[0].append(str(orig_file))
-                data[1].append(str(dec_file))
-            orig_full = ckpt_dir / "original_full_song.wav"
-            dec_full = ckpt_dir / "generated_full_song.wav"
-            write_wav(orig_full, original.sum(axis=0), sr)
-            write_wav(dec_full, decoded.sum(axis=0), sr)
-            data[0].append(str(orig_full))
-            data[1].append(str(dec_full))
-            columns = ["bass vs D(bass)", "drums vs D(drums)", "guitar vs D(guitar)",
-                       "piano vs D(piano)", "mixed vs D(mixed)"]
-            for lg in trainer.loggers:
-                lg.log_table(f"DEMO EPOCH [{trainer.current_epoch}]", columns, data)
-        except Exception as err:
-            log.warning("Exception while executing -on validation batch end- during "
-                        "transformer training")
-            log.warning("%s", err)
+        stems = np.asarray(batch)
+        index = random.randint(0, stems.shape[0] - 1)
+        datamodule = getattr(trainer, "datamodule", None)
+        if datamodule is None or datamodule.quantize is None:
+            return
+        if not hasattr(self, "_demo_fwd"):  # jit once (incl. the teacher)
+            self._demo_fwd = jax.jit(lambda p, raw: self.net.apply(
+                {"params": p}, datamodule.on_after_batch_transfer(raw)[0],
+                deterministic=True))
+        decode = lambda: np.asarray(self._demo_fwd(
+            params, jnp.asarray(stems[index:index + 1]))[0])
+        log_audio_demo(trainer, self.hparams["checkpoint_dir"],
+                       int(self.hparams["sample_rate"]), stems[index], decode,
+                       "transformer")

@@ -131,43 +131,17 @@ class VQVAETask(TaskModule):
         """Audio demo table on the first validation batch (reference: vqvae.py:173-237)."""
         if batch_idx != 0 or not trainer.loggers:
             return
-        try:
-            from msla_tpu.data.wavio import write_wav
+        from msla_tpu.models.demo import log_audio_demo
 
-            # batch is the raw (B,4,T) stems; rebuild the mixture input locally
-            stems = np.asarray(batch)
-            mixture = stems.sum(axis=1, keepdims=True)
-            model_in = np.broadcast_to(mixture, stems.shape)
-            index = random.randint(0, stems.shape[0] - 1)
-            if not hasattr(self, "_demo_fwd"):  # jit once; eager apply would
-                self._demo_fwd = jax.jit(      # dispatch op-by-op every epoch
-                    lambda p, x: self.net.apply({"params": p}, x).output)
-            decoded = np.asarray(self._demo_fwd(params,
-                                                jnp.asarray(model_in[index:index + 1]))[0])
-            original = stems[index]
-
-            ckpt_dir = Path(self.hparams["checkpoint_dir"])
-            ckpt_dir.mkdir(parents=True, exist_ok=True)
-            sr = int(self.hparams["sample_rate"])
-            data: list[list] = [[], []]
-            for idx, name in enumerate(INSTRUMENTS):
-                orig_file = ckpt_dir / f"original_{name}.wav"
-                dec_file = ckpt_dir / f"generated_{name}.wav"
-                write_wav(orig_file, original[idx], sr)
-                write_wav(dec_file, decoded[idx], sr)
-                data[0].append(str(orig_file))
-                data[1].append(str(dec_file))
-            orig_full = ckpt_dir / "original_full_song.wav"
-            dec_full = ckpt_dir / "generated_full_song.wav"
-            write_wav(orig_full, original.sum(axis=0), sr)
-            write_wav(dec_full, decoded.sum(axis=0), sr)
-            data[0].append(str(orig_full))
-            data[1].append(str(dec_full))
-
-            columns = ["bass vs D(bass)", "drums vs D(drums)", "guitar vs D(guitar)",
-                       "piano vs D(piano)", "mixed vs D(mixed)"]
-            for lg in trainer.loggers:
-                lg.log_table(f"DEMO EPOCH [{trainer.current_epoch}]", columns, data)
-        except Exception as err:  # never let demo logging kill training (vqvae.py:233-237)
-            log.warning("Exception while executing -on validation batch end- during vqvae training")
-            log.warning("%s", err)
+        # batch is the raw (B,4,T) stems; rebuild the mixture input locally
+        stems = np.asarray(batch)
+        mixture = stems.sum(axis=1, keepdims=True)
+        model_in = np.broadcast_to(mixture, stems.shape)
+        index = random.randint(0, stems.shape[0] - 1)
+        if not hasattr(self, "_demo_fwd"):  # jit once; eager apply would
+            self._demo_fwd = jax.jit(      # dispatch op-by-op every epoch
+                lambda p, x: self.net.apply({"params": p}, x).output)
+        decode = lambda: np.asarray(self._demo_fwd(
+            params, jnp.asarray(model_in[index:index + 1]))[0])
+        log_audio_demo(trainer, self.hparams["checkpoint_dir"],
+                       int(self.hparams["sample_rate"]), stems[index], decode, "vqvae")

@@ -47,6 +47,11 @@ class TPESweeper:
             sampled = self.sampler.sample(self.space, self.observations)
             trial_overrides = [f"{k}={v}" for k, v in sampled.items()]
             cfg = compose(config_dir, config_name, base_overrides + trial_overrides)
+            if sweep_dir is not None:
+                # pin every trial to the FIRST trial's resolved sweep dir —
+                # each compose() re-resolves ${now:...}, which would scatter
+                # trials across different multirun timestamp directories
+                cfg.update_dotted("hydra.sweep.dir", str(sweep_dir))
             run_dir = setup_run_dir(cfg, job_num=trial)
             sweep_dir = run_dir.parent
             setup_job_logging(cfg, str(cfg.task_name))

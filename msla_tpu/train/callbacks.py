@@ -54,7 +54,11 @@ class ModelCheckpoint(Callback):
         self.best_model_score: float | None = None
 
     def _qualifies(self, score: float) -> bool:
-        if len(self._best) < max(self.save_top_k, 0):
+        if self.save_top_k == 0:   # Lightning: save nothing (last.ckpt only)
+            return False
+        if self.save_top_k < 0:    # Lightning: save everything
+            return True
+        if len(self._best) < self.save_top_k:
             return True
         worst = self._best[-1][0]
         return score < worst if self.mode == "min" else score > worst
@@ -78,10 +82,11 @@ class ModelCheckpoint(Callback):
         trainer.save_checkpoint(path)
         self._best.append((score, path))
         self._best.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
-        while len(self._best) > self.save_top_k:
-            _, drop = self._best.pop()
-            if os.path.exists(drop):
-                os.remove(drop)
+        if self.save_top_k > 0:  # negative keeps everything
+            while len(self._best) > self.save_top_k:
+                _, drop = self._best.pop()
+                if os.path.exists(drop):
+                    os.remove(drop)
 
         canonical = str(self.dirpath / f"{self.filename}.ckpt")
         best_score, best_path = self._best[0]

@@ -270,7 +270,9 @@ class Trainer:
 
         first_raw = next(iter(train_loader))
         if self._state is None or self._model is not model:
-            self._build_state(model, datamodule, first_raw, ckpt_path)
+            self._build_state(model, datamodule, first_raw, self._resolve_ckpt_path(ckpt_path))
+        elif ckpt_path:  # state already built (e.g. validate() ran first)
+            self._restore(self._resolve_ckpt_path(ckpt_path))
         train_step = self._make_train_step(model, datamodule)
         val_step = self._make_eval_step(model, datamodule, "validation")
 
@@ -318,13 +320,16 @@ class Trainer:
 
             model.on_train_epoch_end(self, self._state.params)
 
+            # increment BEFORE the checkpoint callbacks run so saved
+            # checkpoints record the number of COMPLETED epochs — resuming
+            # from them continues at the next epoch instead of re-running one
+            self.current_epoch += 1
             if not self.fast_dev_run:
                 for cb in self.callbacks:
                     cb.on_validation_end(self, self.callback_metrics)
-                if self.current_epoch + 1 >= self.min_epochs and any(
+                if self.current_epoch >= self.min_epochs and any(
                         cb.stop_training for cb in self.callbacks):
                     stop = True
-            self.current_epoch += 1
 
         for cb in self.callbacks:
             cb.on_train_end(self)
