@@ -129,6 +129,25 @@ def test_loader_drop_last_and_shuffle(fixture_root):
         np.testing.assert_array_equal(a, b)
 
 
+def test_loader_abandoned_iterator_stops_producer(fixture_root):
+    """Breaking out of a background-thread loader must not leak the producer
+    (regression: it used to block forever on the full queue)."""
+    import threading
+    import time
+
+    ds = make_ds(fixture_root / "train")
+    baseline = threading.active_count()
+    for _ in range(4):
+        loader = DataLoader(ds, batch_size=2, num_workers=1)
+        it = iter(loader)
+        next(it)   # consume one batch, abandon the rest
+        del it
+    deadline = time.time() + 10
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= baseline + 1  # producers exited
+
+
 def test_datamodule_mixture_transform(fixture_root):
     import jax.numpy as jnp
     dm = SlakhDataModule(train_dir=str(fixture_root / "train"),
