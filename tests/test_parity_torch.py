@@ -127,6 +127,48 @@ def test_vector_quantizer_parity():
         np.asarray(one_hot_encodings(res.encoding_indices, 32)), t_enc.numpy())
 
 
+def test_full_vqvae_forward_parity():
+    """Complete mixture→stems pipeline (encoder → 1×1 conv → VQ → decoder)
+    matches the reference's forward composition (vqvae.py:81-86) end to end,
+    including code indices — the BASELINE north-star parity claim."""
+    tenc = TorchEncoder(in_channel=4, num_hidden=32, num_residual_layer=2,
+                        num_residual_hidden=8).eval()
+    tconv = torch.nn.Conv1d(32, 8, kernel_size=1, stride=1).eval()
+    tvq = TorchVQ(num_embedding=32, embedding_dim=8, commitment_cost=0.25).eval()
+    tdec = TorchDecoder(in_channel=8, num_hidden=32, num_residual_layer=2,
+                        num_residual_hidden=8).eval()
+
+    x = (np.random.default_rng(21).standard_normal((2, 4, 512)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        z = tconv(tenc(torch.from_numpy(x.copy())))
+        t_emb, t_com, t_q, t_perp, _, t_idx = tvq(z)
+        want = tdec(t_q).numpy()
+
+    from msla_tpu.nn.vqvae_net import VQVAENet
+    from msla_tpu.utils.torch_compat import vqvae_params_from_torch
+
+    sd = {}
+    sd.update({f"encoder.{k}": v for k, v in tenc.state_dict().items()})
+    sd.update({f"conv.{k}": v for k, v in tconv.state_dict().items()})
+    sd.update({f"vector_quantizer.codebook.weight": tvq.codebook.weight})
+    sd.update({f"decoder.{k}": v for k, v in tdec.state_dict().items()})
+    params = vqvae_params_from_torch(sd, num_residual_layer=2)
+
+    net = VQVAENet(num_hidden=32, num_residual_layer=2, num_residual_hidden=8,
+                   num_embedding=32, embedding_dim=8, commitment_cost=0.25,
+                   use_pallas=False)
+    out = net.apply({"params": params}, jnp.asarray(x))
+    q = net.apply({"params": params}, jnp.asarray(x),
+                  method=VQVAENet.get_quantized)
+
+    np.testing.assert_array_equal(np.asarray(q.encoding_indices).reshape(-1),
+                                  t_idx.numpy().reshape(-1))
+    np.testing.assert_allclose(np.asarray(out.output), want, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(out.embedding_loss), float(t_emb), **TOL)
+    np.testing.assert_allclose(float(out.commitment_loss), float(t_com), **TOL)
+    np.testing.assert_allclose(float(out.perplexity), float(t_perp), **TOL)
+
+
 def test_vq_ste_gradient_is_identity():
     """d loss/d x through the STE equals the gradient w.r.t. quantized output."""
     codebook = jnp.asarray(np.random.default_rng(9).standard_normal((16, 4)), jnp.float32)
