@@ -98,10 +98,10 @@ def measure_torch_reference() -> dict:
         result = {"samples_per_sec": bench_batch * T / dt,
                   "batch": bench_batch, "t": T,
                   "note": "reference torch encode+VQ forward, CPU, eval mode"}
+        CACHE.write_text(json.dumps(result))  # cache successes only —
+        return result                          # failures must retry next run
     except Exception as err:  # reference not mounted — degrade gracefully
-        result = {"samples_per_sec": None, "error": str(err)}
-    CACHE.write_text(json.dumps(result))
-    return result
+        return {"samples_per_sec": None, "error": str(err)}
 
 
 def measure_transformer_codes() -> float:

@@ -43,8 +43,6 @@ def _make_trainer(cfg: ConfigNode, callbacks, logger, **overrides):
 def _load_vqvae_teacher(cfg: ConfigNode):
     """Load the frozen best VQ-VAE for second-stage training
     (reference: src/main.py:62-70)."""
-    import jax
-
     from msla_tpu.data.transform import Quantize
     from msla_tpu.train.checkpoint import restore_params
 
@@ -188,9 +186,10 @@ def generate(cfg: ConfigNode) -> None:
     vqvae_params = restore_params(best_dir / "best_vqvae.ckpt")
 
     idx = random.randint(0, 3)
-    rng = np.random.default_rng()
     instruments = instruments.copy()
-    instruments[:, idx, :] = rng.random(instruments.shape[-1], dtype=np.float32)
+    # np.random global is seeded by seed_everything → reproducible corruption
+    # (matches the reference's torch.rand_like under L.seed_everything)
+    instruments[:, idx, :] = np.random.random(instruments.shape[-1]).astype(np.float32)
 
     q = vqvae.get_quantized(vqvae_params, jnp.asarray(instruments))
     output = bert.predict_step(bert_params, (q.encoding_indices, jnp.asarray(instruments)))
