@@ -121,6 +121,28 @@ def test_validate_and_ckpt_best(fixture_root, tmp_path):
         Trainer(accelerator="cpu")._resolve_ckpt_path("best")
 
 
+def test_fit_with_masking_augment_in_step(fixture_root, tmp_path):
+    """masking=True routes the STFT augmentation through the jitted train step."""
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root, masking=True)
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, limit_train_batches=2, limit_val_batches=1)
+    trainer.fit(task, dm)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])
+    assert np.isfinite(trainer.callback_metrics["validation/loss"])
+
+
+def test_trainer_predict(fixture_root, tmp_path):
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, fast_dev_run=True)
+    trainer.fit(task, dm)
+    outputs = trainer.predict(task, dm)
+    assert len(outputs) == len(dm.predict_dataloader())
+    assert outputs[0].shape[1:] == (4, 2 * SR)  # (B=1, 4, T)
+
+
 def test_early_stopping_semantics():
     class FakeTrainer:
         def save_checkpoint(self, path):
