@@ -109,6 +109,17 @@ def test_confignode_mutation_and_select():
     assert cfg.to_container() == {"a": {"b": 3, "c": {"d": 7}}}
 
 
+def test_every_config_group_option_composes():
+    """Every option of every group must compose without errors."""
+    for group_dir in sorted(CONFIG_DIR.iterdir()):
+        if not group_dir.is_dir():
+            continue
+        for option in sorted(group_dir.glob("*.yaml")):
+            override = f"{group_dir.name}={option.stem}"
+            cfg = compose(CONFIG_DIR, "train", [override])
+            assert cfg.task_name, override
+
+
 def test_interpolation_env_default():
     cfg = ConfigNode({"x": "${oc.env:DEFINITELY_NOT_SET_XYZ,fallback_val}"})
     assert cfg.x == "fallback_val"
