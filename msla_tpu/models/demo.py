@@ -28,6 +28,10 @@ def log_audio_demo(trainer, checkpoint_dir: str, sample_rate: int,
     raises — demo failures must not kill training (reference: vqvae.py:233-237).
     """
     try:
+        from msla_tpu.parallel.mesh import is_main_process
+
+        if not is_main_process():  # multi-host: rank 0 owns artifact writes
+            return
         if callable(decoded):
             decoded = decoded()
         from msla_tpu.data.wavio import write_wav

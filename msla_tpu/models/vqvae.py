@@ -121,6 +121,10 @@ class VQVAETask(TaskModule):
         header=False, which silently eats one codebook row on re-read — a
         reference bug we do not reproduce.
         """
+        from msla_tpu.parallel.mesh import is_main_process
+
+        if not is_main_process():  # multi-host: rank 0 owns artifact writes
+            return
         codebook = np.asarray(params["vector_quantizer"]["codebook"])
         path = Path(self.hparams["codebook_file"])
         path.parent.mkdir(parents=True, exist_ok=True)

@@ -3,14 +3,20 @@
 The reference's only distribution strategy is Lightning DDP data-parallel
 (configs/trainer/default.yaml:10 `devices: -1`; SURVEY.md §2 parallelism
 table). The TPU-native equivalent: one `jax.sharding.Mesh` with a `data` axis
-over ICI; the jitted train step shards batches on `data` and replicates
-params, and XLA inserts the gradient all-reduce. A `model` axis is provisioned
-for tensor-parallel sharding of the second-stage LMs (used by the multichip
-dry-run and available to large configs).
+over ICI; the jitted train step shards batches on `data` and XLA inserts the
+gradient all-reduce. A `model` axis carries tensor-parallel shardings
+(`tp_param_spec`) for the codebook, the wide conv kernels and the
+transformer FFN — applied by the Trainer when `model_parallel > 1` and by the
+multichip dry-run.
+
+Multi-host: batches are assembled from per-process local shards via
+`jax.make_array_from_process_local_data`, so each host only loads and
+transfers its own slice of the global batch (SURVEY.md §5 distributed row).
 """
 from __future__ import annotations
 
 import jax
+import jax.tree_util as jtu
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -62,32 +68,91 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-_warned_pad = False
+# ---- tensor-parallel parameter shardings -------------------------------------
 
+def tp_param_spec(path, leaf, mp: int) -> P:
+    """Megatron-style sharding rules over the `model` axis.
+
+    - VQ codebook rows split over `model` (distance matmul column-parallel);
+    - wide Conv1D kernels (OIW layout in flax: (W, I, O)) split on output
+      channels;
+    - transformer FFN: linear1 column-parallel, linear2 row-parallel.
+    Everything else replicates. Rules only fire when the dim divides `mp`.
+    """
+    keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    if "codebook" in keys and leaf.ndim == 2 and leaf.shape[0] % mp == 0:
+        return P(MODEL_AXIS, None)
+    if "kernel" in keys and leaf.ndim == 2:
+        if any(k.startswith("linear1") for k in keys) and leaf.shape[-1] % mp == 0:
+            return P(None, MODEL_AXIS)      # column parallel
+        if any(k.startswith("linear2") for k in keys) and leaf.shape[0] % mp == 0:
+            return P(MODEL_AXIS, None)      # row parallel
+    if "kernel" in keys and leaf.ndim == 3 and leaf.shape[-1] >= 64 \
+            and leaf.shape[-1] % mp == 0:
+        return P(None, None, MODEL_AXIS)
+    return P()
+
+
+def make_param_shardings(mesh: Mesh, params):
+    """NamedSharding tree for a param pytree: replicated on a 1-wide model
+    axis, tensor-parallel (tp_param_spec) otherwise."""
+    mp = mesh.shape[MODEL_AXIS]
+    if mp <= 1:
+        repl = replicated(mesh)
+        return jtu.tree_map(lambda _: repl, params)
+    return jtu.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, tp_param_spec(path, leaf, mp)),
+        params)
+
+
+def make_opt_shardings(mesh: Mesh, tx, params, param_shardings):
+    """Sharding tree for `tx.init(params)`: param-shaped leaves (Adam mu/nu)
+    mirror the param shardings, everything else (counts) replicates.
+
+    Matching is by key-path suffix — optax states embed the param tree
+    verbatim (e.g. `opt_state[0].mu['encoder']['conv1']['kernel']` ends with
+    the param path), so the longest-suffix match recovers each leaf's param.
+    """
+    by_path = {tuple(str(k) for k in path): sh
+               for path, sh in jtu.tree_flatten_with_path(param_shardings)[0]}
+    repl = replicated(mesh)
+
+    def pick(path, leaf):
+        keys = tuple(str(k) for k in path)
+        for start in range(len(keys)):
+            sh = by_path.get(keys[start:])
+            if sh is not None:
+                return sh
+        return repl
+
+    opt_shape = jax.eval_shape(tx.init, params)
+    return jtu.tree_map_with_path(pick, opt_shape)
+
+
+# ---- batch feeding ------------------------------------------------------------
 
 def shard_batch(mesh: Mesh, batch) -> jax.Array:
-    """Host numpy batch → device array sharded over the data axis.
+    """Host numpy batch → global device array sharded over the data axis.
 
-    Pads the batch to a multiple of the data-axis size if needed (only
-    happens on non-drop_last loaders) by repeating the last example; batch-
-    mean metrics over a padded batch are slightly biased toward it, so a
-    one-time warning is emitted.
+    Multi-host: `batch` is this process's LOCAL shard; the global array is
+    assembled with `jax.make_array_from_process_local_data`, so no host ever
+    materializes or transfers another host's data. Requires equal per-host
+    batches (drop_last guarantees it; the loaders set it per the reference,
+    datamodule.py:84-101).
+
+    Single-host: plain device_put. Ragged batches (non-drop_last loaders)
+    fall back to a REPLICATED placement instead of being padded — the eval
+    loop weights metrics by true batch size, so no padded-row bias
+    (VERDICT.md round-1 item 9).
     """
-    global _warned_pad
     arr = np.asarray(batch)
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, arr)
     n_data = mesh.shape[DATA_AXIS]
     if arr.shape[0] % n_data != 0:
-        pad = n_data - arr.shape[0] % n_data
-        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
-        if not _warned_pad:
-            _warned_pad = True
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "batch of %d padded to %d for the %d-way data mesh — "
-                "batch-mean metrics include the duplicated tail example",
-                arr.shape[0] - pad, arr.shape[0], n_data)
-    return jax.device_put(arr, batch_sharding(mesh))
+        return jax.device_put(arr, replicated(mesh))
+    return jax.device_put(arr, sharding)
 
 
 def is_main_process() -> bool:

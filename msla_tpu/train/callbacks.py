@@ -30,6 +30,15 @@ class Callback:
     def stop_training(self) -> bool:
         return False
 
+    # Lightning checkpoints carry callback state (EarlyStopping wait count,
+    # ModelCheckpoint best-k heap) so resume continues where it left off
+    # (reference: lightning Trainer.fit(ckpt_path=...) behind src/main.py:48).
+    def state_dict(self) -> dict:
+        return {}
+
+    def load_state_dict(self, state: dict) -> None:
+        pass
+
 
 class ModelCheckpoint(Callback):
     def __init__(self, dirpath: str, filename: str = "best", monitor: str = "validation/loss",
@@ -52,6 +61,21 @@ class ModelCheckpoint(Callback):
         self._version = 0
         self.best_model_path: str | None = None
         self.best_model_score: float | None = None
+
+    def state_dict(self) -> dict:
+        return {"best": [[score, path] for score, path in self._best],
+                "version": self._version,
+                "best_model_path": self.best_model_path,
+                "best_model_score": self.best_model_score}
+
+    def load_state_dict(self, state: dict) -> None:
+        # drop heap entries whose files no longer exist (e.g. copied ckpt)
+        self._best = [(float(s), str(p)) for s, p in state.get("best", [])
+                      if os.path.exists(str(p))]
+        self._version = int(state.get("version", len(self._best)))
+        self.best_model_path = state.get("best_model_path") or None
+        score = state.get("best_model_score")
+        self.best_model_score = float(score) if score is not None else None
 
     def _qualifies(self, score: float) -> bool:
         if self.save_top_k == 0:   # Lightning: save nothing (last.ckpt only)
@@ -117,6 +141,15 @@ class EarlyStopping(Callback):
         self._wait = 0
         self._best: float | None = None
         self._stop = False
+
+    def state_dict(self) -> dict:
+        return {"wait": self._wait, "best": self._best, "stopped": self._stop}
+
+    def load_state_dict(self, state: dict) -> None:
+        self._wait = int(state.get("wait", 0))
+        best = state.get("best")
+        self._best = float(best) if best is not None else None
+        self._stop = bool(state.get("stopped", False))
 
     @property
     def stop_training(self) -> bool:

@@ -27,7 +27,8 @@ def _to_numpy_tree(tree: Any) -> Any:
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     epoch: int = 0, global_step: int = 0,
                     hparams: dict | None = None,
-                    callback_metrics: dict | None = None) -> None:
+                    callback_metrics: dict | None = None,
+                    callbacks_state: list | None = None) -> None:
     payload = {
         "state_dict": _to_numpy_tree(params),
         "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
@@ -35,6 +36,9 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "global_step": global_step,
         "hparams": json.dumps(hparams or {}, default=str),
         "callback_metrics": {k: float(v) for k, v in (callback_metrics or {}).items()},
+        # Lightning parity: callback state (early-stop patience, top-k heap)
+        # rides in the checkpoint so resume doesn't reset it
+        "callbacks": json.dumps(callbacks_state or [], default=str),
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -46,6 +50,7 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
 def load_checkpoint(path: str | Path) -> dict:
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     payload["hparams"] = json.loads(payload.get("hparams") or "{}")
+    payload["callbacks"] = json.loads(payload.get("callbacks") or "[]")
     return payload
 
 

@@ -89,6 +89,88 @@ def test_model_parallel_codebook_sharding():
                                np.asarray(want.quantized_ste), rtol=1e-5, atol=1e-6)
 
 
+class _ArrayDataModule:
+    """Minimal datamodule over an in-memory (N, 4, T) stem array."""
+
+    def __init__(self, data: np.ndarray, batch_size: int):
+        self.batches = [data[i:i + batch_size]
+                        for i in range(0, len(data) - batch_size + 1, batch_size)]
+
+    def train_dataloader(self):
+        return list(self.batches)
+
+    def val_dataloader(self):
+        return list(self.batches)
+
+    def on_after_batch_transfer(self, batch):
+        return mixture(batch)
+
+
+def test_trainer_model_parallel_matches_replicated(tmp_path):
+    """Trainer(model_parallel=2) must shard the codebook/wide kernels over the
+    model axis AND produce numerically identical training to the replicated
+    dp-only run (VERDICT round-1 item 4)."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(2)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(model_parallel):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=8)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0, model_parallel=model_parallel)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_dp = fit(1)
+    t_tp = fit(2)
+
+    # the tp run actually sharded: codebook rows over `model`
+    cb = t_tp.state.params["vector_quantizer"]["codebook"]
+    assert cb.sharding.spec in (P("model"), P("model", None))
+    # conv kernels with >=64 output channels would shard too; this tiny net
+    # has none, so also check the opt state mirrors the param sharding
+    mu_cb = t_tp.state.opt_state[0].mu["vector_quantizer"]["codebook"]
+    assert mu_cb.sharding.spec in (P("model"), P("model", None))
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_dp.state.params),
+                    jax.tree_util.tree_leaves(t_tp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(t_dp.callback_metrics["validation/loss"],
+                               t_tp.callback_metrics["validation/loss"], rtol=1e-4)
+
+
+def test_ragged_batch_eval_is_exact():
+    """Non-drop_last loaders: ragged final batches are fed replicated (no
+    padding) and epoch metrics are example-weighted — zero padded-row bias
+    (VERDICT round-1 item 9)."""
+    from msla_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(jax.devices()[:8])
+    ragged = np.arange(3 * 4 * 8, dtype=np.float32).reshape(3, 4, 8)
+    arr = shard_batch(mesh, ragged)  # 3 % 8 != 0 → replicated, unpadded
+    assert arr.shape == (3, 4, 8)
+    assert arr.sharding.spec == P()
+
+    trainer = Trainer(accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0)
+    b1 = np.full((8, 4, 8), 1.0, np.float32)
+    b2 = np.full((3, 4, 8), 12.0, np.float32)
+
+    class FakeModel:
+        def on_validation_batch_end(self, *a):
+            pass
+
+    def eval_fn(params, batch):
+        return {"m": jnp.mean(batch)}
+
+    trainer._state = type("S", (), {"params": {}})()
+    out = trainer._run_eval(FakeModel(), None, [b1, b2], eval_fn, "test", 1.0)
+    np.testing.assert_allclose(out["m"], (8 * 1.0 + 3 * 12.0) / 11.0, rtol=1e-6)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 

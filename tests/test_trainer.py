@@ -104,6 +104,50 @@ def test_resume_from_checkpoint(fixture_root, tmp_path):
     assert payload["epoch"] == 1
 
 
+def test_resume_restores_callback_state(tmp_path):
+    """EarlyStopping patience and the ModelCheckpoint top-k heap survive a
+    save/restore round-trip (Lightning semantics behind reference main.py:48)."""
+    class FakeTrainer:
+        current_epoch = 1
+        global_step = 7
+        callback_metrics = {}
+        _model = type("M", (), {"hparams": {}})()
+
+        def __init__(self, callbacks):
+            self.callbacks = callbacks
+            self._state = type("S", (), {"params": {"w": np.zeros(1)},
+                                         "opt_state": {}})()
+
+        save_checkpoint = Trainer.save_checkpoint
+
+    es = EarlyStopping(monitor="m", patience=3)
+    mc = ModelCheckpoint(dirpath=str(tmp_path), filename="best", monitor="m",
+                         save_top_k=2)
+    t = FakeTrainer([mc, es])
+    for score in [1.0, 0.8, 0.9, 0.85]:  # best 0.8, then 2 waits
+        es.on_validation_end(t, {"m": score})
+        mc.on_validation_end(t, {"m": score})
+    assert es._wait == 2 and es._best == 0.8 and len(mc._best) == 2
+
+    t.save_checkpoint(tmp_path / "state.ckpt")
+
+    # fresh callbacks restore their state from the checkpoint payload —
+    # exactly what Trainer._restore dispatches (guarded by class name)
+    payload = load_checkpoint(tmp_path / "state.ckpt")
+    es2 = EarlyStopping(monitor="m", patience=3)
+    mc2 = ModelCheckpoint(dirpath=str(tmp_path), filename="best", monitor="m",
+                          save_top_k=2)
+    for cb, entry in zip([mc2, es2], payload["callbacks"]):
+        assert type(cb).__name__ == entry["class"]
+        cb.load_state_dict(entry["state"])
+    assert es2._wait == 2 and es2._best == 0.8
+    assert len(mc2._best) == 2 and mc2._version == mc._version
+    assert mc2.best_model_score == 0.8
+    # one more bad epoch trips the restored patience counter exactly
+    es2.on_validation_end(t, {"m": 0.9})
+    assert es2._wait == 3 and es2.stop_training
+
+
 def test_validate_and_ckpt_best(fixture_root, tmp_path):
     task = make_task(tmp_path)
     dm = make_dm(fixture_root)
