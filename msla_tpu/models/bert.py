@@ -10,6 +10,9 @@ TPU redesign of the hot path: the reference runs ⌈11000/512⌉ = 22 BERT
 forwards SERIALLY per batch in a Python while-loop (bert.py:53-69). Here the
 W axis is padded to a whole number of 512-token chunks and folded into the
 batch dimension — ONE batched BERT forward per step, fully MXU-resident.
+Only the ARGMAX of the MLM logits is consumed (bert.py:67), so the tied
+decoder matmul + argmax run as one fused Pallas kernel (ops.mlm_argmax) that
+never materializes the (B, 512, 30522) logits tensor in HBM.
 
 Faithful quirks:
 * argmax (non-differentiable) between BERT and the head means BERT itself
@@ -34,6 +37,7 @@ from msla_tpu.models.module import TaskModule
 from msla_tpu.nn.bert import BertConfig, BertForMaskedLM
 from msla_tpu.nn.layers import Conv1d, Linear
 from msla_tpu.ops.metrics import l1_loss, mse_loss, si_sdr_mean
+from msla_tpu.ops.mlm_argmax import mlm_argmax
 from flax import linen as nn
 
 log = logging.getLogger(__name__)
@@ -65,17 +69,27 @@ class AudioBertTask(TaskModule):
                  num_embedding: int,
                  pretrained_weights: str | None = None,
                  mask_prob: float = 0.15,
-                 compute_dtype: str | None = None):
+                 compute_dtype: str | None = None,
+                 use_pallas: bool | None = None):
         self.hparams = dict(learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
                             codebook=str(codebook), sample_rate=sample_rate,
                             frame_length=frame_length, num_embedding=num_embedding,
                             mask_prob=mask_prob, compute_dtype=compute_dtype)
+        self.use_pallas = use_pallas  # None → fused argmax kernel on TPU
         self.config = BertConfig(compute_dtype=compute_dtype)
         self.bert = BertForMaskedLM(self.config)
         self.head = AudioBertHead(output_dim=sample_rate * frame_length)
         self.mask_prob = float(mask_prob)
         self.codebook_np = self._load_codebook(codebook, num_embedding)
         self.pretrained_weights = pretrained_weights
+
+    def _decoder_weights(self, bert_params):
+        """Tied MLM decoder operands for the fused argmax: the word-embedding
+        matrix (cast to the compute dtype when set) and the vocab bias."""
+        emb = bert_params["embeddings"]["word_embeddings"]["embedding"]
+        if self.config.compute_dtype:
+            emb = emb.astype(self.config.compute_dtype)
+        return emb, bert_params["mlm_bias"]
 
     @staticmethod
     def _load_codebook(path: str, num_embedding: int) -> np.ndarray:
@@ -157,14 +171,17 @@ class AudioBertTask(TaskModule):
         attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
 
         bert_params = jax.lax.stop_gradient(params["bert"])
+        emb, mlm_bias = self._decoder_weights(bert_params)
 
         def chunk_step(_, tok_attn):
             tok, am = tok_attn
-            logits = self.bert.apply({"params": bert_params}, tok, am,
-                                     deterministic=True)
+            h = self.bert.apply({"params": bert_params}, tok, am,
+                                deterministic=True, return_mlm_hidden=True)
             # argmax is non-differentiable: no gradient reaches BERT — faithful
-            # to the reference, where BERT's grads are None
-            return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # to the reference, where BERT's grads are None. The decoder
+            # matmul + argmax fuse into one kernel (no logits in HBM).
+            return None, mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
+                                    use_pallas=self.use_pallas)
 
         _, ids = jax.lax.scan(chunk_step, None, (tokens, attn))  # (n_chunks, B, 512)
         ids = ids.swapaxes(0, 1).reshape(b, padded)[:, :w]
@@ -204,14 +221,15 @@ class AudioBertTask(TaskModule):
         toks = toks.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
         attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
         bert_params = params["bert"]
+        emb, mlm_bias = self._decoder_weights(bert_params)
 
         def chunk_step(_, tok_attn):
             tok, am = tok_attn
-            logits = self.bert.apply({"params": bert_params}, tok, am,
-                                     deterministic=True)
-            probs = jax.nn.softmax(logits, axis=-1)
-            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            conf = jnp.max(probs, axis=-1)
+            h = self.bert.apply({"params": bert_params}, tok, am,
+                                deterministic=True, return_mlm_hidden=True)
+            # fused decoder-matmul + argmax + online-softmax confidence
+            ids, conf = mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
+                                   with_conf=True, use_pallas=self.use_pallas)
             return None, (ids, conf)
 
         _, (ids, conf) = jax.lax.scan(chunk_step, None, (toks, attn))

@@ -91,8 +91,14 @@ class BertForMaskedLM(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids: jax.Array, attention_mask: jax.Array | None = None,
-                 deterministic: bool = True) -> jax.Array:
-        """(B, S) int ids → (B, S, vocab) MLM logits."""
+                 deterministic: bool = True, return_mlm_hidden: bool = False) -> jax.Array:
+        """(B, S) int ids → (B, S, vocab) MLM logits.
+
+        return_mlm_hidden=True stops after the MLM transform+norm and returns
+        the (B, S, hidden) states instead — callers that only need the argmax
+        token (Audio-BERT, reference bert.py:67) fuse the tied-decoder matmul
+        with the argmax via ops.mlm_argmax and never materialize the logits.
+        """
         c = self.config
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
@@ -110,6 +116,8 @@ class BertForMaskedLM(nn.Module):
                      bias_init=torch_bias_init(c.hidden_size), name="mlm_transform")(x)
         h = jax.nn.gelu(h, approximate=False)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="mlm_norm")(h)
+        if return_mlm_hidden:
+            return h
         word_embeddings = embeddings.variables["params"]["word_embeddings"]["embedding"]
         logits = jax.lax.dot_general(h, word_embeddings,
                                      (((2,), (1,)), ((), ())),

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Per-chunk BERT cost bisection with REAL loop-carried data dependencies.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_bert_layers.py [bf16]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, S = 16, 512
+ITERS = 10
+
+
+def loop_time(body):
+    """body(carry) -> scalar float; must consume carry."""
+    @jax.jit
+    def loop():
+        def step(i, carry):
+            return carry + body(carry)
+        return jax.lax.fori_loop(0, ITERS, step, jnp.float32(0.0))
+
+    float(loop())
+    t0 = time.perf_counter()
+    float(loop())
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main():
+    dtype = "bfloat16" if "bf16" in sys.argv else None
+    from msla_tpu.nn.bert import BertConfig, BertForMaskedLM, BertEmbeddings, BertLayer
+
+    c = BertConfig(compute_dtype=dtype)
+    bert = BertForMaskedLM(c)
+    rng = np.random.default_rng(0)
+    tok = jnp.asarray(rng.integers(0, 512, (B, S)), jnp.int32)
+    am = jnp.ones((B, S), jnp.float32)
+    params = bert.init(jax.random.PRNGKey(0), tok)["params"]
+    x0 = jnp.asarray(rng.standard_normal((B, S, c.hidden_size)), jnp.float32)
+    bias0 = jnp.zeros((B, 1, 1, S), jnp.float32)
+
+    # one full chunk: ids out
+    t = loop_time(lambda carry: bert.apply(
+        {"params": params}, tok + (carry * 1e-12).astype(jnp.int32), am,
+        deterministic=True).sum() * 1e-12)
+    print(f"full chunk logits  : {t*1e3:7.2f} ms  (x22 = {t*22e3:6.0f} ms)")
+
+    t = loop_time(lambda carry: bert.apply(
+        {"params": params}, tok + (carry * 1e-12).astype(jnp.int32), am,
+        deterministic=True, return_mlm_hidden=True).sum() * 1e-12)
+    print(f"chunk mlm-hidden   : {t*1e3:7.2f} ms")
+
+    # single encoder layer
+    layer = BertLayer(c, name="layer0")
+    lp = params["layer0"]
+    t = loop_time(lambda carry: layer.apply(
+        {"params": lp}, x0 + carry * 1e-12, bias0, deterministic=True).sum() * 1e-12)
+    print(f"one encoder layer  : {t*1e3:7.2f} ms  (x12x22 = {t*264e3:6.0f} ms)")
+
+    # embeddings
+    emb = BertEmbeddings(c, name="embeddings")
+    ep = params["embeddings"]
+    t = loop_time(lambda carry: emb.apply(
+        {"params": ep}, tok + (carry * 1e-12).astype(jnp.int32),
+        deterministic=True).sum() * 1e-12)
+    print(f"embeddings         : {t*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
