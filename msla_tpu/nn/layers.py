@@ -61,6 +61,48 @@ class Conv1d(nn.Module):
         )(x)
 
 
+class _RawConvParams(nn.Module):
+    """Declares a conv's kernel/bias without binding them to nn.Conv — used by
+    fused-kernel call sites that consume the weights directly."""
+
+    shape: tuple
+    fan_in: int
+    bias_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init, self.shape)
+        bias = self.param("bias", torch_bias_init(self.fan_in),
+                          (self.bias_features,))
+        return kernel, bias
+
+
+class ConvParams(nn.Module):
+    """Param-tree twin of Conv1d: produces the exact same
+    `<name>/conv/{kernel,bias}` structure and initializer values, but returns
+    the raw weights for fused Pallas kernels instead of applying nn.Conv."""
+
+    shape: tuple  # (k, in, out)
+
+    @nn.compact
+    def __call__(self):
+        k, cin, cout = self.shape
+        return _RawConvParams(self.shape, cin * k, cout, name="conv")()
+
+
+class ConvTransposeParams(nn.Module):
+    """Param-tree twin of ConvTranspose1d for fused kernels: same
+    `<name>/conv/{kernel,bias}` structure and initializer values; kernel in
+    the transpose_kernel=True layout (k, out, in)."""
+
+    shape: tuple  # (k, out, in)
+
+    @nn.compact
+    def __call__(self):
+        k, cout, _ = self.shape
+        return _RawConvParams(self.shape, cout * k, cout, name="conv")()
+
+
 class ConvTranspose1d(nn.Module):
     """NWC transposed 1-D convolution matching torch.nn.ConvTranspose1d(k, s, p).
 

@@ -42,17 +42,21 @@ class VQVAENet(nn.Module):
     #: conv compute dtype ("bfloat16" halves activation HBM traffic; params
     #: and the VQ distance/loss math stay fp32 for code-index parity)
     compute_dtype: str | None = None
+    #: fused encoder-stem kernel (None → on for TPU); see ops/conv_stem.py
+    fuse_stem: bool | None = None
 
     def setup(self):
         self.encoder = Encoder(self.num_hidden, self.num_residual_layer,
-                               self.num_residual_hidden, dtype=self.compute_dtype)
+                               self.num_residual_hidden, dtype=self.compute_dtype,
+                               fuse_stem=self.fuse_stem)
         # 1×1 conv projecting hidden → embedding dim (reference: vqvae.py:44)
         self.pre_vq_conv = Conv1d(self.embedding_dim, kernel_size=1, stride=1, padding=0,
                                   dtype=self.compute_dtype)
         self.vector_quantizer = VectorQuantizer(self.num_embedding, self.embedding_dim,
                                                 self.commitment_cost, self.use_pallas)
         self.decoder = Decoder(self.num_hidden, self.num_residual_layer,
-                               self.num_residual_hidden, dtype=self.compute_dtype)
+                               self.num_residual_hidden, dtype=self.compute_dtype,
+                               fuse_stem=self.fuse_stem)
 
     def encode(self, x_bcw: jax.Array) -> jax.Array:
         """(B, 4, T) → (B, W, embedding_dim) pre-quantization latents (NWC)."""
