@@ -1,19 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark harness: VQ-VAE encode+VQ throughput per chip vs the PyTorch
-reference (BASELINE.json metric: "Slakh waveform samples/sec/chip
-(VQVAE encode+VQ)"; BASELINE.md: no published numbers exist, so both sides
-are measured here under identical config — batch 64, T=44000, 512×64 codebook).
+"""Benchmark harness (BASELINE.json north star: VQ-VAE train step +
+separation inference ≥10× the PyTorch reference per chip; metrics
+"waveform samples/sec/chip (VQVAE encode+VQ); transformer codes/sec").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Headline = the full VQ-VAE train step (fwd+bwd+Adam,
+the composite behind reference src/model/vqvae.py:55-66); the `metrics` dict
+carries the whole catalog — encode+VQ forward, train step fp32/bf16,
+transformer codes/sec, BERT train codes/sec — each with its own
+`vs_baseline` against the cached torch-reference measurement.
 
-Timing notes: on the axon TPU tunnel, per-call host timing is dominated by
-relay round-trips and block_until_ready under-reports; the measured loop runs
-ITERS steps on-device inside one jit (lax.fori_loop with a data dependency)
-and fetches a single scalar, so the wall time is pure device compute.
+Timing: on the axon TPU tunnel, per-call host timing is dominated by relay
+round-trips; every measured loop runs ITERS steps on-device inside one jit
+(lax.fori_loop with a loop-carried data dependency) and fetches one scalar.
 
 The torch-reference side is measured once on this host (the reference's own
 modules, imported read-only from /root/reference — no code copied) and cached
-in BENCH_BASELINE_CACHE.json; delete the cache to re-measure.
+in BENCH_BASELINE_CACHE.json; delete the cache to re-measure. BASELINE.md
+documents the methodology and the CPU→GPU extrapolation caveats.
 """
 from __future__ import annotations
 
@@ -32,76 +35,99 @@ T = 44000
 NUM_HIDDEN = 128
 NUM_EMBEDDING = 512
 EMBEDDING_DIM = 64
-ITERS = 20
+BERT_BATCH = 16
+ITERS = 10
 CACHE = REPO / "BENCH_BASELINE_CACHE.json"
 
 
-def measure_jax() -> float:
+def _loop_time(body, *args, iters=ITERS):
+    """body(carry, *args) -> f32 scalar consuming carry; returns sec/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(*a):
+        def step(i, carry):
+            return carry + body(carry, *a)
+        return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
+
+    float(loop(*args))  # compile + warm
+    t0 = time.perf_counter()
+    float(loop(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def _make_vqvae_task(compute_dtype=None):
+    from msla_tpu.models.vqvae import VQVAETask
+
+    return VQVAETask(num_hidden=NUM_HIDDEN, num_residual_layer=2,
+                     num_residual_hidden=32, num_embedding=NUM_EMBEDDING,
+                     embedding_dim=EMBEDDING_DIM, commitment_cost=0.25,
+                     learning_rate=1e-4, sample_rate=22000,
+                     checkpoint_dir="/tmp/bench_ckpt",
+                     codebook_file="/tmp/bench_cb.csv",
+                     compute_dtype=compute_dtype)
+
+
+def measure_encode_vq() -> float:
     """samples/sec/chip for the jitted encode+VQ forward at reference scale."""
     import jax
     import jax.numpy as jnp
 
-    from msla_tpu.nn.vqvae_net import VQVAENet
     from msla_tpu.ops.vq import vector_quantize
 
-    net = VQVAENet(num_hidden=NUM_HIDDEN, num_residual_layer=2, num_residual_hidden=32,
-                   num_embedding=NUM_EMBEDDING, embedding_dim=EMBEDDING_DIM,
-                   commitment_cost=0.25)
+    task = _make_vqvae_task()
+    net = task.net
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, 4, T)), jnp.float32)
-    variables = net.init(jax.random.PRNGKey(0), x)
-    params = variables["params"]
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
 
-    def encode_vq(params, x):
-        z = net.apply({"params": params}, x, method=VQVAENet.encode)
+    def body(carry, params, x):
+        z = net.apply({"params": params}, x + carry * 1e-12, method=type(net).encode)
         res = vector_quantize(z, params["vector_quantizer"]["codebook"], 0.25)
-        return res.encoding_indices
+        return res.encoding_indices[0, 0].astype(jnp.float32)
 
-    @jax.jit
-    def loop(params, x):
-        def body(i, carry):
-            idx = encode_vq(params, x + carry * 1e-12)
-            return carry + idx[0, 0].astype(jnp.float32)
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+    dt = _loop_time(body, params, x)
+    return BATCH * T / dt
 
-    float(loop(params, x))  # compile + warm
+
+def measure_train_step(compute_dtype=None) -> float:
+    """samples/sec/chip for the FULL train step: mixture transform + fwd +
+    bwd + Adam update (reference composite: vqvae.py:55-66 + Lightning)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    task = _make_vqvae_task(compute_dtype)
+    rng = np.random.default_rng(0)
+    stems = jnp.asarray(rng.standard_normal((BATCH, 4, T)), jnp.float32)
+    mixture = jnp.broadcast_to(stems.sum(axis=1, keepdims=True), stems.shape)
+    params = task.init_variables(jax.random.PRNGKey(0), (mixture, stems))["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    import jax as _jax
+
+    @_jax.jit
+    def loop(params, opt_state, raw):
+        def step(i, carry):
+            p, o, acc = carry
+            batch = (jnp.broadcast_to((raw + acc * 1e-12).sum(axis=1, keepdims=True),
+                                      raw.shape), raw)
+            (loss, _), grads = _jax.value_and_grad(
+                lambda q: task.loss_fn(q, batch, _jax.random.PRNGKey(1)),
+                has_aux=True)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o2, acc + loss * 1e-12
+        _, _, acc = _jax.lax.fori_loop(0, ITERS, step, (params, opt_state,
+                                                        jnp.float32(0.0)))
+        return acc
+
+    float(loop(params, opt_state, stems))
     t0 = time.perf_counter()
-    float(loop(params, x))
-    dt = time.perf_counter() - t0
-    return BATCH * T * ITERS / dt
-
-
-def measure_torch_reference() -> dict:
-    """Reference encode+VQ forward throughput on this host (torch, eval mode)."""
-    if CACHE.exists():
-        return json.loads(CACHE.read_text())
-    try:
-        import torch
-
-        sys.path.insert(0, "/root/reference")
-        from src.model.components.encoder import Encoder as TorchEncoder
-        from src.model.components.vector_quantizer import VectorQuantizer as TorchVQ
-
-        encoder = TorchEncoder(in_channel=4, num_hidden=NUM_HIDDEN,
-                               num_residual_layer=2, num_residual_hidden=32).eval()
-        conv = torch.nn.Conv1d(NUM_HIDDEN, EMBEDDING_DIM, kernel_size=1).eval()
-        vq = TorchVQ(num_embedding=NUM_EMBEDDING, embedding_dim=EMBEDDING_DIM,
-                     commitment_cost=0.25).eval()
-
-        bench_batch = 8  # samples/sec is size-normalized; full 64 is torture on 1 core
-        x = torch.randn(bench_batch, 4, T)
-        with torch.no_grad():
-            vq(conv(encoder(x)))  # warm
-            t0 = time.perf_counter()
-            vq(conv(encoder(x)))
-            dt = time.perf_counter() - t0
-        result = {"samples_per_sec": bench_batch * T / dt,
-                  "batch": bench_batch, "t": T,
-                  "note": "reference torch encode+VQ forward, CPU, eval mode"}
-        CACHE.write_text(json.dumps(result))  # cache successes only —
-        return result                          # failures must retry next run
-    except Exception as err:  # reference not mounted — degrade gracefully
-        return {"samples_per_sec": None, "error": str(err)}
+    float(loop(params, opt_state, stems))
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH * T / dt
 
 
 def measure_transformer_codes() -> float:
@@ -119,36 +145,197 @@ def measure_transformer_codes() -> float:
     quantized = jnp.asarray(rng.standard_normal((BATCH, EMBEDDING_DIM, w)), jnp.float32)
     params = task.net.init(jax.random.PRNGKey(0), quantized)["params"]
 
-    @jax.jit
-    def loop(params, q):
-        def body(i, carry):
-            out = task.net.apply({"params": params}, q + carry * 1e-12,
-                                 deterministic=True)
-            return carry + out[0, 0, 0]
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+    def body(carry, params, q):
+        out = task.net.apply({"params": params}, q + carry * 1e-12,
+                             deterministic=True)
+        return out[0, 0, 0] * 1e-12
 
-    float(loop(params, quantized))
+    dt = _loop_time(body, params, quantized)
+    return BATCH * w / dt
+
+
+def measure_bert_codes(compute_dtype="bfloat16") -> float:
+    """codes/sec for the AudioBert train step (22-chunk scan, fused MLM
+    argmax, head-only AdamW) at batch 16 — the reference's worst hot loop
+    (src/model/bert.py:53-69)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msla_tpu.models.bert import AudioBertTask
+
+    w = T // 4
+    task = AudioBertTask(learning_rate=2e-4, checkpoint_dir="/tmp/bench_b",
+                         codebook="/tmp/does_not_exist.csv", sample_rate=22000,
+                         frame_length=2, num_embedding=NUM_EMBEDDING,
+                         compute_dtype=compute_dtype)
+    rng = np.random.default_rng(0)
+    indices = jnp.asarray(rng.integers(0, NUM_EMBEDDING, (BERT_BATCH, w)), jnp.int32)
+    instruments = jnp.asarray(rng.standard_normal((BERT_BATCH, 4, T)), jnp.float32)
+    params = task.init_variables(jax.random.PRNGKey(0), (indices, instruments))["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def loop(params, opt_state, idx, ins):
+        def step(i, carry):
+            p, o, acc = carry
+            (loss, _), grads = jax.value_and_grad(
+                lambda q: task.loss_fn(q, (idx, ins + acc * 1e-12),
+                                       jax.random.PRNGKey(1)), has_aux=True)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o2, acc + loss * 1e-12
+        _, _, acc = jax.lax.fori_loop(0, 5, step, (params, opt_state,
+                                                   jnp.float32(0.0)))
+        return acc
+
+    float(loop(params, opt_state, indices, instruments))
     t0 = time.perf_counter()
-    float(loop(params, quantized))
-    dt = time.perf_counter() - t0
-    return BATCH * w * ITERS / dt
+    float(loop(params, opt_state, indices, instruments))
+    dt = (time.perf_counter() - t0) / 5
+    return BERT_BATCH * w / dt
+
+
+# ---- torch reference side (this host, CPU, cached) ------------------------------
+
+def measure_torch_reference() -> dict:
+    """Reference throughputs on this host (its own torch modules, read-only).
+
+    Size-normalized (per-sample / per-code) so small CPU batches are
+    comparable; see BASELINE.md for methodology + GPU extrapolation notes.
+    """
+    if CACHE.exists():
+        cached = json.loads(CACHE.read_text())
+        if "train_step_samples_per_sec" in cached:
+            return cached
+    result = {}
+    try:
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from src.model.components.decoder import Decoder as TorchDecoder
+        from src.model.components.encoder import Encoder as TorchEncoder
+        from src.model.components.vector_quantizer import VectorQuantizer as TorchVQ
+
+        bench_batch = 8
+        encoder = TorchEncoder(in_channel=4, num_hidden=NUM_HIDDEN,
+                               num_residual_layer=2, num_residual_hidden=32).eval()
+        conv = torch.nn.Conv1d(NUM_HIDDEN, EMBEDDING_DIM, kernel_size=1).eval()
+        vq = TorchVQ(num_embedding=NUM_EMBEDDING, embedding_dim=EMBEDDING_DIM,
+                     commitment_cost=0.25).eval()
+        x = torch.randn(bench_batch, 4, T)
+        with torch.no_grad():
+            vq(conv(encoder(x)))
+            t0 = time.perf_counter()
+            vq(conv(encoder(x)))
+            dt = time.perf_counter() - t0
+        result["encode_vq_samples_per_sec"] = bench_batch * T / dt
+
+        # full train step: fwd (enc+vq+dec) + L1 losses + bwd + Adam
+        train_batch = 2
+        decoder = TorchDecoder(in_channel=EMBEDDING_DIM, num_hidden=NUM_HIDDEN,
+                               num_residual_layer=2, num_residual_hidden=32)
+        encoder.train(), conv.train(), vq.train(), decoder.train()
+        params = (list(encoder.parameters()) + list(conv.parameters())
+                  + list(vq.parameters()) + list(decoder.parameters()))
+        opt = torch.optim.Adam(params, lr=1e-4)
+        stems = torch.randn(train_batch, 4, T)
+        mix = stems.sum(dim=1, keepdim=True).expand_as(stems)
+
+        def step():
+            # exact reference composite: vqvae.forward + calculate_loss +
+            # backward + Adam (src/model/vqvae.py:55-66,81-86)
+            opt.zero_grad()
+            emb_loss, commit_loss, quantized, perp, _, _ = vq(conv(encoder(mix)))
+            out = decoder(quantized)
+            loss = emb_loss + commit_loss + sum(
+                torch.nn.functional.l1_loss(out[:, i], stems[:, i]) for i in range(4))
+            loss.backward()
+            opt.step()
+
+        step()  # warm
+        t0 = time.perf_counter()
+        step()
+        dt = time.perf_counter() - t0
+        result["train_step_samples_per_sec"] = train_batch * T / dt
+
+        # transformer forward codes/sec. The reference model is a
+        # LightningModule (unimportable here — lightning absent from the
+        # image), so measure a structurally identical plain-torch stand-in:
+        # Linear(11000→512) + 4-layer/8-head nn.TransformerDecoder with zero
+        # memory + Linear((512·64)/4 → 44000), per transformer.py:31-38,71-80.
+        w = T // 4
+        embed = torch.nn.Linear(w, 512)
+        dec_layer = torch.nn.TransformerDecoderLayer(512, 8, batch_first=False)
+        tdec = torch.nn.TransformerDecoder(dec_layer, num_layers=4)
+        head = torch.nn.Linear((512 * EMBEDDING_DIM) // 4, T)
+        q = torch.randn(1, EMBEDDING_DIM, w)
+
+        def tr_fwd():
+            # mirrors transformer.py:57-80: permute to (seq=64, batch, dim),
+            # causal mask over the 64 latent channels, zero memory
+            h = embed(q.permute(1, 0, 2))
+            mem = torch.zeros_like(h)
+            mask = torch.nn.Transformer.generate_square_subsequent_mask(h.shape[0])
+            h = tdec(h, mem, tgt_mask=mask)
+            return head(h.permute(1, 0, 2).reshape(1, 4, -1))
+
+        with torch.no_grad():
+            tr_fwd()
+            t0 = time.perf_counter()
+            tr_fwd()
+            dt = time.perf_counter() - t0
+        result["transformer_codes_per_sec"] = w / dt
+
+        result["note"] = ("reference torch modules on this host's CPU; "
+                          "per-sample normalized (see BASELINE.md)")
+    except Exception as err:  # reference not mounted — degrade gracefully
+        result.setdefault("error", str(err))
+    if "train_step_samples_per_sec" in result:
+        CACHE.write_text(json.dumps(result))
+    return result
 
 
 def main() -> None:
-    import os
+    train_bf16 = measure_train_step("bfloat16")
+    train_fp32 = measure_train_step(None)
+    encode = measure_encode_vq()
+    transformer = measure_transformer_codes()
+    try:
+        bert = measure_bert_codes()
+    except Exception as err:
+        print(f"bert bench failed: {err}", file=sys.stderr)
+        bert = None
+    base = measure_torch_reference()
 
-    jax_sps = measure_jax()
-    if os.environ.get("BENCH_EXTRA"):
-        codes = measure_transformer_codes()
-        print(f"extra: transformer codes/sec = {codes:.0f}", file=sys.stderr)
-    baseline = measure_torch_reference()
-    base_sps = baseline.get("samples_per_sec")
-    vs = (jax_sps / base_sps) if base_sps else None
+    def vs(value, key):
+        ref = base.get(key)
+        return round(value / ref, 2) if (value and ref) else None
+
+    metrics = {
+        "vqvae_train_step_samples_per_sec_bf16": {
+            "value": round(train_bf16, 1),
+            "vs_baseline": vs(train_bf16, "train_step_samples_per_sec")},
+        "vqvae_train_step_samples_per_sec_fp32": {
+            "value": round(train_fp32, 1),
+            "vs_baseline": vs(train_fp32, "train_step_samples_per_sec")},
+        "vqvae_encode_vq_samples_per_sec": {
+            "value": round(encode, 1),
+            "vs_baseline": vs(encode, "encode_vq_samples_per_sec")},
+        "transformer_codes_per_sec": {
+            "value": round(transformer, 1),
+            "vs_baseline": vs(transformer, "transformer_codes_per_sec")},
+        "bert_train_codes_per_sec": {
+            "value": round(bert, 1) if bert else None, "vs_baseline": None},
+    }
     print(json.dumps({
-        "metric": "Slakh waveform samples/sec/chip (VQVAE encode+VQ)",
-        "value": round(jax_sps, 1),
+        "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
+        "value": round(train_bf16, 1),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": vs(train_bf16, "train_step_samples_per_sec"),
+        "metrics": metrics,
+        "reference_baseline": {k: round(v, 1) for k, v in base.items()
+                               if isinstance(v, (int, float))},
     }))
 
 

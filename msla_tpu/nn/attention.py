@@ -46,12 +46,14 @@ class MultiHeadAttention(nn.Module):
                             preferred_element_type=jnp.float32) / jnp.sqrt(head_dim).astype(q.dtype)
         if mask is not None:
             scores = scores + mask  # additive mask (-inf on disallowed)
-        weights = jax.nn.softmax(scores, axis=-1)
+        weights = jax.nn.softmax(scores, axis=-1)  # fp32 for stability
         if self.dropout > 0.0 and not deterministic:
             weights = nn.Dropout(self.dropout, name="attn_drop")(
                 weights, deterministic=False)
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+        # cast the probabilities back to the compute dtype so the AV matmul
+        # runs at bf16 MXU rate instead of promoting to an fp32 dot
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, s_q, e)
         return nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),

@@ -58,7 +58,8 @@ class BertEmbeddings(nn.Module):
         tok = nn.Embed(c.type_vocab_size, c.hidden_size,
                        name="token_type_embeddings")(jnp.zeros_like(input_ids))
         x = word + pos + tok
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
+                         name="layer_norm")(x)
         return nn.Dropout(c.hidden_dropout_prob)(x, deterministic=deterministic)
 
 
@@ -74,7 +75,8 @@ class BertLayer(nn.Module):
         attn = MultiHeadAttention(c.hidden_size, c.num_attention_heads,
                                   dtype=c.compute_dtype, name="attention")(x, x, x, mask=attn_bias,
                                                     deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_norm")(x + drop(attn))
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
+                         name="attention_norm")(x + drop(attn))
 
         h = nn.Dense(c.intermediate_size, kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(c.hidden_size), dtype=c.compute_dtype,
@@ -83,7 +85,8 @@ class BertLayer(nn.Module):
         h = nn.Dense(c.hidden_size, kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(c.intermediate_size), dtype=c.compute_dtype,
                      name="output")(h).astype(jnp.float32)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_norm")(x + drop(h))
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
+                            name="output_norm")(x + drop(h))
 
 
 class BertForMaskedLM(nn.Module):
@@ -115,7 +118,8 @@ class BertForMaskedLM(nn.Module):
         h = nn.Dense(c.hidden_size, kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(c.hidden_size), name="mlm_transform")(x)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="mlm_norm")(h)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
+                         name="mlm_norm")(h)
         if return_mlm_hidden:
             return h
         word_embeddings = embeddings.variables["params"]["word_embeddings"]["embedding"]

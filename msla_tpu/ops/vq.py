@@ -63,18 +63,11 @@ def code_usage_perplexity(indices: jax.Array, num_embedding: int) -> jax.Array:
     return jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
 
-@partial(jax.jit, static_argnames=("use_pallas",))
-def vector_quantize(x: jax.Array, codebook: jax.Array, commitment_cost: float,
-                    use_pallas: bool | None = None) -> VQResult:
-    """Quantize (..., D) activations against a (K, D) codebook.
-
-    Loss names follow the reference verbatim (reference quirk: the formulas
-    are conventional but the names are swapped vs. VQ-VAE literature —
-    SURVEY.md §2 quirk 3). Metric-name parity requires keeping them.
-    """
+def _vector_quantize_jnp(x: jax.Array, codebook: jax.Array,
+                         commitment_cost: float) -> VQResult:
     input_shape = x.shape
     flat = x.reshape(-1, input_shape[-1])
-    indices = nearest_codes(flat, codebook, use_pallas=use_pallas)
+    indices = nearest_codes(flat, codebook, use_pallas=False)
     quantized = jnp.take(codebook, indices, axis=0).reshape(input_shape)
 
     commitment_loss = commitment_cost * jnp.mean(
@@ -85,6 +78,67 @@ def vector_quantize(x: jax.Array, codebook: jax.Array, commitment_cost: float,
     perplexity = code_usage_perplexity(indices, codebook.shape[0])
     return VQResult(quantized_ste, quantized, embedding_loss, commitment_loss,
                     perplexity, indices.reshape(input_shape[:-1]))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vector_quantize_fused(x: jax.Array, codebook: jax.Array,
+                           commitment_cost: float) -> VQResult:
+    out, _ = _vq_fused_fwd(x, codebook, commitment_cost)
+    return out
+
+
+def _vq_fused_fwd(x, codebook, commitment_cost):
+    from msla_tpu.ops.vq_fused import vq_fused_fwd_pallas
+
+    input_shape = x.shape
+    flat = x.reshape(-1, input_shape[-1]).astype(jnp.float32)
+    q_flat, idx, counts, sq = vq_fused_fwd_pallas(flat, codebook)
+    mse = sq / flat.size  # embedding/commitment are VALUE-equal ‖q−x‖²/N·D
+    probs = counts / flat.shape[0]
+    perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
+    q = q_flat.reshape(input_shape)
+    out = VQResult(q, q, mse, commitment_cost * mse, perplexity,
+                   idx.reshape(input_shape[:-1]))
+    return out, (flat, q_flat, idx, codebook)
+
+
+def _vq_fused_bwd(commitment_cost, res, g: VQResult):
+    from msla_tpu.ops.vq_fused import vq_codebook_grad_pallas
+
+    flat, q_flat, idx, codebook = res
+    coef = 2.0 / flat.size
+    g_ste = g.quantized_ste.reshape(flat.shape)
+    g_q = g.quantized.reshape(flat.shape)
+    # dx: STE identity + commitment β·2/(N·D)·(x−q); embedding sg's x out
+    dx = g_ste + (commitment_cost * coef * g.commitment_loss) * (flat - q_flat)
+    # dcb: gather-transpose of (quantized cotangent + embedding term), as an
+    # in-VMEM one-hotᵀ@g matmul instead of XLA's serialized scatter
+    g_eff = g_q + (coef * g.embedding_loss) * (q_flat - flat)
+    dcb = vq_codebook_grad_pallas(g_eff, idx, int(codebook.shape[0]))
+    return dx.reshape(g.quantized_ste.shape), dcb.astype(codebook.dtype)
+
+
+_vector_quantize_fused.defvjp(_vq_fused_fwd, _vq_fused_bwd)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def vector_quantize(x: jax.Array, codebook: jax.Array, commitment_cost: float,
+                    use_pallas: bool | None = None) -> VQResult:
+    """Quantize (..., D) activations against a (K, D) codebook.
+
+    Loss names follow the reference verbatim (reference quirk: the formulas
+    are conventional but the names are swapped vs. VQ-VAE literature —
+    SURVEY.md §2 quirk 3). Metric-name parity requires keeping them.
+
+    use_pallas: None → the fully-fused Pallas path on TPU (ops/vq_fused.py —
+    the perplexity histogram and codebook gradient become in-VMEM
+    accumulations instead of XLA scatters), jnp elsewhere; True/False force.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return _vector_quantize_fused(x, codebook, commitment_cost)
+    return _vector_quantize_jnp(x, codebook, commitment_cost)
 
 
 def one_hot_encodings(indices: jax.Array, num_embedding: int) -> jax.Array:

@@ -14,17 +14,19 @@ B, S = 16, 512
 ITERS = 10
 
 
-def loop_time(body):
-    """body(carry) -> scalar float; must consume carry."""
+def loop_time(body, *args):
+    """body(carry, *args) -> scalar float; must consume carry. args are real
+    jit operands (closures would bake 440 MB of params into the HLO and blow
+    the remote-compile request limit)."""
     @jax.jit
-    def loop():
+    def loop(*a):
         def step(i, carry):
-            return carry + body(carry)
+            return carry + body(carry, *a)
         return jax.lax.fori_loop(0, ITERS, step, jnp.float32(0.0))
 
-    float(loop())
+    float(loop(*args))
     t0 = time.perf_counter()
-    float(loop())
+    float(loop(*args))
     return (time.perf_counter() - t0) / ITERS
 
 
@@ -42,29 +44,29 @@ def main():
     bias0 = jnp.zeros((B, 1, 1, S), jnp.float32)
 
     # one full chunk: ids out
-    t = loop_time(lambda carry: bert.apply(
-        {"params": params}, tok + (carry * 1e-12).astype(jnp.int32), am,
-        deterministic=True).sum() * 1e-12)
+    t = loop_time(lambda carry, p, tk, a: bert.apply(
+        {"params": p}, tk + (carry * 1e-12).astype(jnp.int32), a,
+        deterministic=True).sum() * 1e-12, params, tok, am)
     print(f"full chunk logits  : {t*1e3:7.2f} ms  (x22 = {t*22e3:6.0f} ms)")
 
-    t = loop_time(lambda carry: bert.apply(
-        {"params": params}, tok + (carry * 1e-12).astype(jnp.int32), am,
-        deterministic=True, return_mlm_hidden=True).sum() * 1e-12)
+    t = loop_time(lambda carry, p, tk, a: bert.apply(
+        {"params": p}, tk + (carry * 1e-12).astype(jnp.int32), a,
+        deterministic=True, return_mlm_hidden=True).sum() * 1e-12, params, tok, am)
     print(f"chunk mlm-hidden   : {t*1e3:7.2f} ms")
 
     # single encoder layer
     layer = BertLayer(c, name="layer0")
-    lp = params["layer0"]
-    t = loop_time(lambda carry: layer.apply(
-        {"params": lp}, x0 + carry * 1e-12, bias0, deterministic=True).sum() * 1e-12)
+    t = loop_time(lambda carry, p, x, bias: layer.apply(
+        {"params": p}, x + carry * 1e-12, bias,
+        deterministic=True).sum() * 1e-12,
+        params["layer0"], x0, bias0)
     print(f"one encoder layer  : {t*1e3:7.2f} ms  (x12x22 = {t*264e3:6.0f} ms)")
 
     # embeddings
     emb = BertEmbeddings(c, name="embeddings")
-    ep = params["embeddings"]
-    t = loop_time(lambda carry: emb.apply(
-        {"params": ep}, tok + (carry * 1e-12).astype(jnp.int32),
-        deterministic=True).sum() * 1e-12)
+    t = loop_time(lambda carry, p, tk: emb.apply(
+        {"params": p}, tk + (carry * 1e-12).astype(jnp.int32),
+        deterministic=True).sum() * 1e-12, params["embeddings"], tok)
     print(f"embeddings         : {t*1e3:7.2f} ms")
 
 
