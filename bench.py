@@ -84,7 +84,9 @@ def measure_encode_vq() -> float:
 
     def body(carry, params, x):
         z = net.apply({"params": params}, x + carry * 1e-12, method=type(net).encode)
-        res = vector_quantize(z, params["vector_quantizer"]["codebook"], 0.25)
+        # inference path: jnp VQ so XLA DCEs everything but the indices
+        res = vector_quantize(z, params["vector_quantizer"]["codebook"], 0.25,
+                              use_pallas=False)
         return res.encoding_indices[0, 0].astype(jnp.float32)
 
     dt = _loop_time(body, params, x)

@@ -56,8 +56,11 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(b, s_q, e)
-        return nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
-                        dtype=self.dtype, name="out_proj")(out).astype(jnp.float32)
+        out = nn.Dense(e, kernel_init=torch_kernel_init, bias_init=torch_bias_init(e),
+                       dtype=self.dtype, name="out_proj")(out)
+        # fp32 mode keeps the residual stream fp32; in bf16 mode the caller's
+        # residual adds/norms stay bf16 (halves the elementwise HBM traffic)
+        return out if self.dtype else out.astype(jnp.float32)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jnp.ndarray:

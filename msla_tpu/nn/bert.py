@@ -51,11 +51,12 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.config
         b, s = input_ids.shape
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(input_ids)
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.compute_dtype,
+                        name="word_embeddings")(input_ids)
         pos_ids = jnp.arange(s)[None, :]
-        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=c.compute_dtype,
                        name="position_embeddings")(pos_ids)
-        tok = nn.Embed(c.type_vocab_size, c.hidden_size,
+        tok = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=c.compute_dtype,
                        name="token_type_embeddings")(jnp.zeros_like(input_ids))
         x = word + pos + tok
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
@@ -84,7 +85,9 @@ class BertLayer(nn.Module):
         h = jax.nn.gelu(h, approximate=False)  # HF BERT uses erf-gelu
         h = nn.Dense(c.hidden_size, kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(c.intermediate_size), dtype=c.compute_dtype,
-                     name="output")(h).astype(jnp.float32)
+                     name="output")(h)
+        if not c.compute_dtype:  # bf16 mode keeps the residual stream bf16
+            h = h.astype(jnp.float32)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
                             name="output_norm")(x + drop(h))
 

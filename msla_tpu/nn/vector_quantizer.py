@@ -27,9 +27,11 @@ class VectorQuantizer(nn.Module):
         self.codebook = self.param("codebook", codebook_init,
                                    (self.num_embedding, self.embedding_dim))
 
-    def __call__(self, x: jax.Array) -> VQResult:
+    def __call__(self, x: jax.Array, inference: bool = False) -> VQResult:
+        # inference=True pins the jnp path: XLA DCEs the unused VQResult
+        # fields there, which beats the (all-outputs) fused training kernel
         return vector_quantize(x, self.codebook, self.commitment_cost,
-                               use_pallas=self.use_pallas)
+                               use_pallas=False if inference else self.use_pallas)
 
     def lookup(self, indices: jax.Array) -> jax.Array:
         """Code ids → codebook rows (NWC embedding gather)."""

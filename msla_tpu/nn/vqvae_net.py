@@ -75,10 +75,14 @@ class VQVAENet(nn.Module):
         """Inference path to the quantized representation (reference: vqvae.py:88-93).
 
         Gradients are stopped by the caller (wrap in jax.lax.stop_gradient or
-        simply don't differentiate through it).
+        simply don't differentiate through it). Uses the jnp VQ path
+        regardless of use_pallas: inference consumers rarely need every
+        VQResult field, and XLA dead-code-eliminates the unused ones (the
+        fused kernel is a black box that always computes all of them — it
+        only pays off in training, where everything is consumed).
         """
         z = self.encode(x_bcw)
-        res = self.vector_quantizer(z)
+        res = self.vector_quantizer(z, inference=True)
         quantized_bcw = jnp.swapaxes(res.quantized_ste, -1, -2)
         return QuantizedOutput(quantized_bcw, res.encoding_indices, res.perplexity)
 
