@@ -208,7 +208,8 @@ def measure_torch_reference() -> dict:
     """
     if CACHE.exists():
         cached = json.loads(CACHE.read_text())
-        if "train_step_samples_per_sec" in cached:
+        if ("train_step_samples_per_sec" in cached
+                and "bert_train_codes_per_sec" in cached):
             return cached
     result = {}
     try:
@@ -289,6 +290,53 @@ def measure_torch_reference() -> dict:
             dt = time.perf_counter() - t0
         result["transformer_codes_per_sec"] = w / dt
 
+        # Audio-BERT train step codes/sec. The reference model is a
+        # LightningModule (unimportable — lightning absent), so measure a
+        # structurally identical stand-in of its hot loop (bert.py:43-97):
+        # serial 512-token chunk loop through a random-init HF
+        # BertForMaskedLM (same FLOPs as pretrained), argmax → rescale →
+        # codebook matmul → conv/linear head, L1 loss, backward (reaches only
+        # the head — argmax detaches BERT, as in the reference), AdamW step.
+        # Short W (4 chunks), per-code normalized: the loop is linear in W.
+        from transformers import BertConfig as HFBertConfig
+        from transformers import BertForMaskedLM as HFBertForMaskedLM
+
+        hf = HFBertForMaskedLM(HFBertConfig()).eval()
+        w_bert, chunk = 2048, 512
+        codebook = torch.randn(NUM_EMBEDDING, EMBEDDING_DIM)
+        bhead_conv = torch.nn.Conv1d(EMBEDDING_DIM, 4, 4, stride=2, padding=1)
+        bhead_lin = torch.nn.Linear(w_bert * 4 // 8, w_bert * 4)
+        bopt = torch.optim.AdamW(list(bhead_conv.parameters())
+                                 + list(bhead_lin.parameters()), lr=2e-4)
+        bidx = torch.randint(0, NUM_EMBEDDING, (1, w_bert))
+        btarget = torch.randn(1, 4, w_bert * 4)
+
+        def bert_step():
+            bopt.zero_grad()
+            ids = bidx.clone()
+            ids[torch.rand_like(ids, dtype=torch.float) < 0.15] = 103
+            outs = []
+            for s in range(0, w_bert, chunk):  # serial loop, bert.py:53-69
+                with torch.no_grad():
+                    logits = hf(input_ids=ids[:, s:s + chunk],
+                                attention_mask=torch.ones(1, chunk,
+                                                          dtype=torch.long)).logits
+                outs.append(logits.argmax(-1))
+            out = torch.cat(outs, dim=1).float()
+            code_ids = (out / out.max() * (NUM_EMBEDDING - 1)).round().long()
+            q = codebook[code_ids[0]].T[None]          # (1, 64, W)
+            pred = bhead_lin(bhead_conv(q).reshape(1, 4, -1))
+            loss = sum(torch.nn.functional.l1_loss(pred[:, i], btarget[:, i])
+                       for i in range(4))
+            loss.backward()
+            bopt.step()
+
+        bert_step()  # warm
+        t0 = time.perf_counter()
+        bert_step()
+        dt = time.perf_counter() - t0
+        result["bert_train_codes_per_sec"] = w_bert / dt
+
         result["note"] = ("reference torch modules on this host's CPU; "
                           "per-sample normalized (see BASELINE.md)")
     except Exception as err:  # reference not mounted — degrade gracefully
@@ -328,7 +376,8 @@ def main() -> None:
             "value": round(transformer, 1),
             "vs_baseline": vs(transformer, "transformer_codes_per_sec")},
         "bert_train_codes_per_sec": {
-            "value": round(bert, 1) if bert else None, "vs_baseline": None},
+            "value": round(bert, 1) if bert else None,
+            "vs_baseline": vs(bert, "bert_train_codes_per_sec")},
     }
     print(json.dumps({
         "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",

@@ -8,11 +8,14 @@ L1 training loss per stem; AdamW.
 
 TPU redesign of the hot path: the reference runs ⌈11000/512⌉ = 22 BERT
 forwards SERIALLY per batch in a Python while-loop (bert.py:53-69). Here the
-W axis is padded to a whole number of 512-token chunks and folded into the
-batch dimension — ONE batched BERT forward per step, fully MXU-resident.
-Only the ARGMAX of the MLM logits is consumed (bert.py:67), so the tied
-decoder matmul + argmax run as one fused Pallas kernel (ops.mlm_argmax) that
-never materializes the (B, 512, 30522) logits tensor in HBM.
+W axis is padded to a whole number of 512-token chunks which are folded into
+the batch dimension, `chunk_fold` chunks per BERT call (auto: all 22 at once
+on TPU, capped at 512 folded sequences; chunk-by-chunk scan on CPU where the
+jnp argmax fallback would materialize logits). Only the ARGMAX of the MLM
+logits is consumed (bert.py:67), so the tied decoder matmul + argmax run as
+one fused Pallas kernel (ops.mlm_argmax) that never materializes the
+(B, 512, 30522) logits tensor in HBM, and attention runs as the Pallas flash
+kernel (ops.flash_attn) instead of materializing (B, H, 512, 512) scores.
 
 Faithful quirks:
 * argmax (non-differentiable) between BERT and the head means BERT itself
@@ -70,18 +73,38 @@ class AudioBertTask(TaskModule):
                  pretrained_weights: str | None = None,
                  mask_prob: float = 0.15,
                  compute_dtype: str | None = None,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 use_flash: bool | None = None,
+                 chunk_fold: int | None = None):
         self.hparams = dict(learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
                             codebook=str(codebook), sample_rate=sample_rate,
                             frame_length=frame_length, num_embedding=num_embedding,
-                            mask_prob=mask_prob, compute_dtype=compute_dtype)
+                            mask_prob=mask_prob, compute_dtype=compute_dtype,
+                            chunk_fold=chunk_fold)
         self.use_pallas = use_pallas  # None → fused argmax kernel on TPU
-        self.config = BertConfig(compute_dtype=compute_dtype)
+        # None → Pallas flash attention on TPU (measured 1.8×/layer vs the
+        # XLA chain at the 512-token chunk shape; tools/bench_flash_attn.py)
+        self.config = BertConfig(compute_dtype=compute_dtype, use_flash=use_flash)
         self.bert = BertForMaskedLM(self.config)
         self.head = AudioBertHead(output_dim=sample_rate * frame_length)
         self.mask_prob = float(mask_prob)
+        self.chunk_fold = chunk_fold  # None → auto (see _fold_for)
         self.codebook_np = self._load_codebook(codebook, num_embedding)
         self.pretrained_weights = pretrained_weights
+
+    def _fold_for(self, batch: int, n_chunks: int) -> int:
+        """Chunks per BERT call. With the fused argmax there are no logits to
+        bound, so on TPU fold everything (capped at 512 folded sequences —
+        ~1.6 GB of bf16 FFN intermediates); on CPU the jnp argmax fallback
+        materializes (fold·B, 512, 30522) logits, so stay chunk-by-chunk.
+        With flash attention explicitly disabled the XLA chain materializes
+        (fold·B, 12, 512, 512) fp32 scores — 4.1 GB per layer at full fold,
+        a measured HBM OOM — so stay chunk-by-chunk there too."""
+        if self.chunk_fold is not None:
+            return max(1, int(self.chunk_fold))
+        if jax.default_backend() == "cpu" or self.config.use_flash is False:
+            return 1
+        return max(1, min(n_chunks, 512 // max(batch, 1)))
 
     def _decoder_weights(self, bert_params):
         """Tied MLM decoder operands for the fused argmax: the word-embedding
@@ -144,6 +167,49 @@ class AudioBertTask(TaskModule):
             {"train": adamw, "freeze": optax.set_to_zero()}, param_labels=label_fn)
 
     # ---- forward ---------------------------------------------------------------
+    def _chunked_argmax(self, bert_params, x: jax.Array, *, with_conf: bool):
+        """(B, W) token ids → (B, W) argmax vocab ids [+ (B, W) confidence].
+
+        Pads W to whole 512-token windows (the reference pads with [PAD] and
+        builds attention masks, bert.py:53-69), folds `_fold_for` chunks into
+        the batch of each BERT call, and scans over the remaining groups.
+        """
+        b, w = x.shape
+        s = MAX_HIDDEN_SIZE
+        n_chunks = -(-w // s)
+        fold = self._fold_for(b, n_chunks)
+        n_groups = -(-n_chunks // fold)
+        padded = n_groups * fold * s
+        tokens = jnp.pad(x, ((0, 0), (0, padded - w)),
+                         constant_values=self.config.pad_token_id)
+        attn = jnp.pad(jnp.ones((b, w), jnp.float32), ((0, 0), (0, padded - w)))
+        # (B, padded) → (n_groups, fold·B, 512); within a group row = f·B + i
+        tokens = tokens.reshape(b, n_groups, fold, s).transpose(1, 2, 0, 3) \
+                       .reshape(n_groups, fold * b, s)
+        attn = attn.reshape(b, n_groups, fold, s).transpose(1, 2, 0, 3) \
+                   .reshape(n_groups, fold * b, s)
+        emb, mlm_bias = self._decoder_weights(bert_params)
+
+        def group_call(tok, am):
+            h = self.bert.apply({"params": bert_params}, tok, am,
+                                deterministic=True, return_mlm_hidden=True)
+            # fused tied-decoder matmul + argmax (+ online-softmax confidence)
+            return mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
+                              with_conf=with_conf, use_pallas=self.use_pallas)
+
+        if n_groups == 1:  # the TPU default: one fully-folded BERT call
+            out = group_call(tokens[0], attn[0])
+            outs = jax.tree.map(lambda o: o[None], out)
+        else:
+            _, outs = jax.lax.scan(lambda _, ta: (None, group_call(*ta)),
+                                   None, (tokens, attn))
+
+        def unfold(o):  # (n_groups, fold·B, 512) → (B, w)
+            o = o.reshape(n_groups, fold, b, s).transpose(2, 0, 1, 3)
+            return o.reshape(b, padded)[:, :w]
+
+        return jax.tree.map(unfold, outs)
+
     def forward(self, params, indices: jax.Array, rng: jax.Array | None = None,
                 train: bool = False) -> jax.Array:
         """(B, W) code indices → (B, 4, T) stems (reference: bert.py:43-82)."""
@@ -156,35 +222,11 @@ class AudioBertTask(TaskModule):
             mask = jax.random.uniform(rng, x.shape) < self.mask_prob
             x = jnp.where(mask, self.config.mask_token_id, x)
 
-        # pad W to whole 512-token chunks; scan over the chunk axis with the
-        # full batch inside each step. Compared to the reference's serial
-        # Python loop (bert.py:53-69) this is compiled and batched; compared
-        # to folding every chunk into one call it bounds the live logits
-        # buffer to (B, 512, vocab) — folding all ⌈W/512⌉ chunks at batch 64
-        # would materialize ~90 GB of logits.
-        n_chunks = -(-w // MAX_HIDDEN_SIZE)
-        padded = n_chunks * MAX_HIDDEN_SIZE
-        tokens = jnp.pad(x, ((0, 0), (0, padded - w)),
-                         constant_values=self.config.pad_token_id)
-        attn = jnp.pad(jnp.ones((b, w), jnp.float32), ((0, 0), (0, padded - w)))
-        tokens = tokens.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
-        attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
-
+        # argmax is non-differentiable: no gradient reaches BERT — faithful
+        # to the reference, where BERT's grads are None; stop_gradient makes
+        # XLA skip the BERT backward pass entirely.
         bert_params = jax.lax.stop_gradient(params["bert"])
-        emb, mlm_bias = self._decoder_weights(bert_params)
-
-        def chunk_step(_, tok_attn):
-            tok, am = tok_attn
-            h = self.bert.apply({"params": bert_params}, tok, am,
-                                deterministic=True, return_mlm_hidden=True)
-            # argmax is non-differentiable: no gradient reaches BERT — faithful
-            # to the reference, where BERT's grads are None. The decoder
-            # matmul + argmax fuse into one kernel (no logits in HBM).
-            return None, mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
-                                    use_pallas=self.use_pallas)
-
-        _, ids = jax.lax.scan(chunk_step, None, (tokens, attn))  # (n_chunks, B, 512)
-        ids = ids.swapaxes(0, 1).reshape(b, padded)[:, :w]
+        ids = self._chunked_argmax(bert_params, x, with_conf=False)
 
         # rescale vocab ids into codebook range (reference: bert.py:67-73);
         # the reference flattens across the whole batch before taking max
@@ -213,28 +255,8 @@ class AudioBertTask(TaskModule):
         softmax confidence of each argmax pick.
         """
         b, w = tokens.shape
-        n_chunks = -(-w // MAX_HIDDEN_SIZE)
-        padded = n_chunks * MAX_HIDDEN_SIZE
-        toks = jnp.pad(tokens.astype(jnp.int32), ((0, 0), (0, padded - w)),
-                       constant_values=self.config.pad_token_id)
-        attn = jnp.pad(jnp.ones((b, w), jnp.float32), ((0, 0), (0, padded - w)))
-        toks = toks.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
-        attn = attn.reshape(b, n_chunks, MAX_HIDDEN_SIZE).swapaxes(0, 1)
-        bert_params = params["bert"]
-        emb, mlm_bias = self._decoder_weights(bert_params)
-
-        def chunk_step(_, tok_attn):
-            tok, am = tok_attn
-            h = self.bert.apply({"params": bert_params}, tok, am,
-                                deterministic=True, return_mlm_hidden=True)
-            # fused decoder-matmul + argmax + online-softmax confidence
-            ids, conf = mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
-                                   with_conf=True, use_pallas=self.use_pallas)
-            return None, (ids, conf)
-
-        _, (ids, conf) = jax.lax.scan(chunk_step, None, (toks, attn))
-        ids = ids.swapaxes(0, 1).reshape(b, padded)[:, :w]
-        conf = conf.swapaxes(0, 1).reshape(b, padded)[:, :w]
+        ids, conf = self._chunked_argmax(params["bert"], tokens.astype(jnp.int32),
+                                         with_conf=True)
 
         flat = ids.reshape(-1).astype(jnp.float32)
         denom = jnp.maximum(flat.max(), 1.0)  # same rescale mapping as forward

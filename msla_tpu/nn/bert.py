@@ -37,6 +37,8 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     #: compute dtype for the matmul-heavy blocks (params stay fp32)
     compute_dtype: str | None = None
+    #: None → Pallas flash attention on TPU (ops.flash_attn), XLA elsewhere
+    use_flash: bool | None = None
 
     # canonical bert-base-uncased special token ids (reference: bert.py:36-38
     # obtains them from BertTokenizer; the vocab is fixed so they are constants)
@@ -68,13 +70,17 @@ class BertLayer(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array, attn_bias: jax.Array,
+    def __call__(self, x: jax.Array, attention_mask: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         c = self.config
         drop = lambda a: nn.Dropout(c.hidden_dropout_prob)(a, deterministic=deterministic)
 
+        # key-padding mask routes through ops.flash_attn: the Pallas flash
+        # kernel on TPU (padded-QUERY rows differ there but the Audio-BERT
+        # caller discards them), the identical XLA softmax chain elsewhere
         attn = MultiHeadAttention(c.hidden_size, c.num_attention_heads,
-                                  dtype=c.compute_dtype, name="attention")(x, x, x, mask=attn_bias,
+                                  dtype=c.compute_dtype, use_flash=c.use_flash,
+                                  name="attention")(x, x, x, kv_mask=attention_mask,
                                                     deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype,
                          name="attention_norm")(x + drop(attn))
@@ -108,14 +114,13 @@ class BertForMaskedLM(nn.Module):
         c = self.config
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
-        # additive bias: 0 for attend, -inf-ish for padding (HF uses -10000
-        # in fp32; -1e9 keeps the same effect and is softmax-safe)
-        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        attention_mask = attention_mask.astype(jnp.float32)
 
         embeddings = BertEmbeddings(c, name="embeddings")
         x = embeddings(input_ids, deterministic=deterministic)
         for i in range(c.num_hidden_layers):
-            x = BertLayer(c, name=f"layer{i}")(x, attn_bias, deterministic=deterministic)
+            x = BertLayer(c, name=f"layer{i}")(x, attention_mask,
+                                               deterministic=deterministic)
 
         # MLM head: transform + tied decoder
         h = nn.Dense(c.hidden_size, kernel_init=torch_kernel_init,

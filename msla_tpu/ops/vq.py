@@ -80,14 +80,20 @@ def _vector_quantize_jnp(x: jax.Array, codebook: jax.Array,
                     perplexity, indices.reshape(input_shape[:-1]))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _vector_quantize_fused(x: jax.Array, codebook: jax.Array,
-                           commitment_cost: float) -> VQResult:
-    out, _ = _vq_fused_fwd(x, codebook, commitment_cost)
+@jax.custom_vjp
+def _vector_quantize_fused_raw(x: jax.Array, codebook: jax.Array) -> VQResult:
+    """Fused VQ with UNSCALED commitment loss (== embedding loss in value).
+
+    The β (commitment_cost) scaling happens OUTSIDE the custom_vjp — β may be
+    a traced scalar (vector_quantize is itself jitted), and custom_vjp
+    nondiff_argnums cannot carry tracers; scaling the returned loss lets
+    autodiff fold β into the commitment cotangent instead.
+    """
+    out, _ = _vq_fused_fwd(x, codebook)
     return out
 
 
-def _vq_fused_fwd(x, codebook, commitment_cost):
+def _vq_fused_fwd(x, codebook):
     from msla_tpu.ops.vq_fused import vq_fused_fwd_pallas
 
     input_shape = x.shape
@@ -97,20 +103,20 @@ def _vq_fused_fwd(x, codebook, commitment_cost):
     probs = counts / flat.shape[0]
     perplexity = jnp.exp(-jnp.sum(probs * jnp.log(probs + 1e-10)))
     q = q_flat.reshape(input_shape)
-    out = VQResult(q, q, mse, commitment_cost * mse, perplexity,
-                   idx.reshape(input_shape[:-1]))
+    out = VQResult(q, q, mse, mse, perplexity, idx.reshape(input_shape[:-1]))
     return out, (flat, q_flat, idx, codebook)
 
 
-def _vq_fused_bwd(commitment_cost, res, g: VQResult):
+def _vq_fused_bwd(res, g: VQResult):
     from msla_tpu.ops.vq_fused import vq_codebook_grad_pallas
 
     flat, q_flat, idx, codebook = res
     coef = 2.0 / flat.size
     g_ste = g.quantized_ste.reshape(flat.shape)
     g_q = g.quantized.reshape(flat.shape)
-    # dx: STE identity + commitment β·2/(N·D)·(x−q); embedding sg's x out
-    dx = g_ste + (commitment_cost * coef * g.commitment_loss) * (flat - q_flat)
+    # dx: STE identity + commitment 2/(N·D)·(x−q) — β already folded into the
+    # commitment cotangent by the external scaling; embedding sg's x out
+    dx = g_ste + (coef * g.commitment_loss) * (flat - q_flat)
     # dcb: gather-transpose of (quantized cotangent + embedding term), as an
     # in-VMEM one-hotᵀ@g matmul instead of XLA's serialized scatter
     g_eff = g_q + (coef * g.embedding_loss) * (q_flat - flat)
@@ -118,7 +124,13 @@ def _vq_fused_bwd(commitment_cost, res, g: VQResult):
     return dx.reshape(g.quantized_ste.shape), dcb.astype(codebook.dtype)
 
 
-_vector_quantize_fused.defvjp(_vq_fused_fwd, _vq_fused_bwd)
+_vector_quantize_fused_raw.defvjp(_vq_fused_fwd, _vq_fused_bwd)
+
+
+def _vector_quantize_fused(x: jax.Array, codebook: jax.Array,
+                           commitment_cost) -> VQResult:
+    out = _vector_quantize_fused_raw(x, codebook)
+    return out._replace(commitment_loss=commitment_cost * out.commitment_loss)
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))

@@ -124,6 +124,25 @@ def test_audio_bert_multi_chunk_scan(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_audio_bert_chunk_fold_invariant(tmp_path):
+    """Folding chunks into the batch of one BERT call (the TPU default) must
+    be bit-identical to the chunk-by-chunk scan (CPU default) — including a
+    non-dividing fold that adds whole [PAD] chunks."""
+    task = make_task(tmp_path, sr=2560, frame=2)  # W=1280 → 3 chunks of 512
+    indices = jnp.asarray(np.random.default_rng(6).integers(0, 16, (2, 1280)), jnp.int32)
+    instruments = jnp.asarray(np.zeros((2, 4, 5120)), jnp.float32)
+    params = task.init_variables(jax.random.PRNGKey(0), (indices, instruments))["params"]
+
+    ids_scan = task._chunked_argmax(params["bert"], indices, with_conf=False)
+    assert task._fold_for(2, 3) == 1  # CPU auto: chunk-by-chunk
+    for fold in (2, 3):  # 2 → 2 groups with one pad chunk; 3 → single call
+        task.chunk_fold = fold
+        ids_f, conf_f = task._chunked_argmax(params["bert"], indices, with_conf=True)
+        np.testing.assert_array_equal(np.asarray(ids_scan), np.asarray(ids_f))
+        assert conf_f.shape == ids_f.shape
+    task.chunk_fold = None
+
+
 def test_audio_bert_masking_changes_training_path(tmp_path):
     task = make_task(tmp_path)
     indices = jnp.asarray(np.random.default_rng(4).integers(0, 16, (2, 32)), jnp.int32)

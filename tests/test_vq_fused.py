@@ -73,6 +73,37 @@ def test_fused_gradients_match_jnp_autodiff():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_fused_path_through_public_jit_wrapper():
+    """Regression: `vector_quantize` is itself jitted, so commitment_cost
+    arrives at the fused path as a TRACER — the custom_vjp must not route it
+    through nondiff_argnums (that raised UnexpectedTracerError and broke the
+    whole TPU training default; caught by an end-to-end CLI drive)."""
+    x, cb = _inputs(n=64, d=8, k=16, seed=5)
+    want = vector_quantize(x, cb, BETA, use_pallas=False)
+    got = vector_quantize(x, cb, BETA, use_pallas=True)  # through the jit
+    np.testing.assert_array_equal(np.asarray(got.encoding_indices),
+                                  np.asarray(want.encoding_indices))
+    np.testing.assert_allclose(float(got.commitment_loss),
+                               float(want.commitment_loss), rtol=1e-5)
+
+    # and under an outer jit + grad, as the Trainer uses it
+    @jax.jit
+    def step(x, cb):
+        def inner(x, cb):
+            r = vector_quantize(x, cb, BETA, use_pallas=True)
+            return r.embedding_loss + r.commitment_loss
+        return jax.grad(inner, argnums=(0, 1))(x, cb)
+
+    dx, dcb = step(x, cb)
+    want_dx, want_dcb = jax.grad(
+        lambda x, cb: (lambda r: r.embedding_loss + r.commitment_loss)(
+            vector_quantize(x, cb, BETA, use_pallas=False)), argnums=(0, 1))(x, cb)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want_dx),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dcb), np.asarray(want_dcb),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_codebook_grad_kernel_matches_segment_sum():
     rng = np.random.default_rng(4)
     g = jnp.asarray(rng.standard_normal((70, 8)), jnp.float32)
