@@ -30,6 +30,19 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the five measured graphs cost
+    ~10 min of (remote) compiles through the axon tunnel; cached runs finish
+    in well under a minute. Call BEFORE any jit."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax / read-only fs — compile uncached
+
+
 BATCH = 64
 T = 44000
 NUM_HIDDEN = 128
@@ -347,37 +360,51 @@ def measure_torch_reference() -> dict:
 
 
 def main() -> None:
-    train_bf16 = measure_train_step("bfloat16")
-    train_fp32 = measure_train_step(None)
-    encode = measure_encode_vq()
-    transformer = measure_transformer_codes()
-    try:
-        bert = measure_bert_codes()
-    except Exception as err:
-        print(f"bert bench failed: {err}", file=sys.stderr)
-        bert = None
+    _enable_compile_cache()
+    # Remote (tunnel) compiles dominate: ~10 min for all five graphs. Measure
+    # headline-first under a wall-clock budget so a driver-side timeout still
+    # gets a complete JSON line with the most important metrics; skipped
+    # metrics report null. Override with BENCH_BUDGET_S.
+    import os
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    t_start = time.perf_counter()
+
+    def timed(fn, *args, required=False):
+        if not required and time.perf_counter() - t_start > budget:
+            print(f"bench budget spent — skipping {fn.__name__}", file=sys.stderr)
+            return None
+        try:
+            return fn(*args)
+        except Exception as err:
+            print(f"{fn.__name__} failed: {err}", file=sys.stderr)
+            return None
+
+    train_bf16 = timed(measure_train_step, "bfloat16", required=True)
+    bert = timed(measure_bert_codes)
+    encode = timed(measure_encode_vq)
+    transformer = timed(measure_transformer_codes)
+    train_fp32 = timed(measure_train_step, None)
     base = measure_torch_reference()
 
     def vs(value, key):
         ref = base.get(key)
         return round(value / ref, 2) if (value and ref) else None
 
+    def entry(value, key):
+        return {"value": round(value, 1) if value else None,
+                "vs_baseline": vs(value, key)}
+
     metrics = {
-        "vqvae_train_step_samples_per_sec_bf16": {
-            "value": round(train_bf16, 1),
-            "vs_baseline": vs(train_bf16, "train_step_samples_per_sec")},
-        "vqvae_train_step_samples_per_sec_fp32": {
-            "value": round(train_fp32, 1),
-            "vs_baseline": vs(train_fp32, "train_step_samples_per_sec")},
-        "vqvae_encode_vq_samples_per_sec": {
-            "value": round(encode, 1),
-            "vs_baseline": vs(encode, "encode_vq_samples_per_sec")},
-        "transformer_codes_per_sec": {
-            "value": round(transformer, 1),
-            "vs_baseline": vs(transformer, "transformer_codes_per_sec")},
-        "bert_train_codes_per_sec": {
-            "value": round(bert, 1) if bert else None,
-            "vs_baseline": vs(bert, "bert_train_codes_per_sec")},
+        "vqvae_train_step_samples_per_sec_bf16":
+            entry(train_bf16, "train_step_samples_per_sec"),
+        "vqvae_train_step_samples_per_sec_fp32":
+            entry(train_fp32, "train_step_samples_per_sec"),
+        "vqvae_encode_vq_samples_per_sec":
+            entry(encode, "encode_vq_samples_per_sec"),
+        "transformer_codes_per_sec":
+            entry(transformer, "transformer_codes_per_sec"),
+        "bert_train_codes_per_sec":
+            entry(bert, "bert_train_codes_per_sec"),
     }
     print(json.dumps({
         "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",

@@ -240,6 +240,16 @@ def main(argv: list[str] | None = None) -> float | None:
 
     setup_distributed()  # no-op on a single host
 
+    # persistent XLA compile cache: full TPU train-step compiles cost minutes
+    # through the axon tunnel, seconds when cached (same knob as bench.py)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = False
     for flag in ("-m", "--multirun"):
