@@ -27,7 +27,8 @@ class Decoder(nn.Module):
     num_residual_hidden: int
     out_channels: int = 4
     dtype: str | None = None
-    #: None → fused stem kernel on TPU, XLA elsewhere; False forces XLA
+    #: None → XLA conv_transposes (the measured winner on v5e —
+    #: PERFORMANCE.md); True opts into the Pallas kernel (ops/deconv_stem.py)
     fuse_stem: bool | None = None
 
     @nn.compact

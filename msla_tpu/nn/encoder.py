@@ -24,7 +24,8 @@ class Encoder(nn.Module):
     num_residual_layer: int
     num_residual_hidden: int
     dtype: str | None = None
-    #: None → fused stem kernel on TPU, XLA elsewhere; False forces XLA
+    #: None → XLA convs (the measured winner on v5e — PERFORMANCE.md);
+    #: True opts into the fused Pallas stem kernel (ops/conv_stem.py)
     fuse_stem: bool | None = None
 
     @nn.compact

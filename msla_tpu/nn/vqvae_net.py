@@ -42,7 +42,7 @@ class VQVAENet(nn.Module):
     #: conv compute dtype ("bfloat16" halves activation HBM traffic; params
     #: and the VQ distance/loss math stay fp32 for code-index parity)
     compute_dtype: str | None = None
-    #: fused encoder-stem kernel (None → on for TPU); see ops/conv_stem.py
+    #: opt-in fused stem kernels (None/False → XLA, the measured winner)
     fuse_stem: bool | None = None
 
     def setup(self):

@@ -156,4 +156,21 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
 
 
 def is_main_process() -> bool:
-    return jax.process_index() == 0
+    """True on the rank that owns artifact writes (rank 0).
+
+    Consults jax.process_index() ONLY when a backend is already initialized:
+    calling it cold would claim the single-client axon TPU tunnel from a mere
+    artifact-write guard (the CLAUDE.md backend-claim trap). Utility callers
+    (demo tables, codebook CSVs) may run before any backend exists — there the
+    process rank comes from the env, defaulting to the single-process answer.
+    """
+    try:
+        from jax._src import xla_bridge
+
+        if getattr(xla_bridge, "_backends", None):
+            return jax.process_index() == 0
+    except Exception:  # pragma: no cover - private-API drift → env fallback
+        pass
+    import os
+
+    return int(os.environ.get("JAX_PROCESS_INDEX", 0)) == 0

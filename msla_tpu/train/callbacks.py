@@ -16,6 +16,8 @@ import os
 from pathlib import Path
 from typing import Mapping
 
+from msla_tpu.parallel.mesh import is_main_process
+
 log = logging.getLogger(__name__)
 
 
@@ -91,7 +93,12 @@ class ModelCheckpoint(Callback):
         if self.monitor not in metrics:
             return
         score = float(metrics[self.monitor])
-        self.dirpath.mkdir(parents=True, exist_ok=True)
+        # every rank keeps identical bookkeeping (_best/_version) so resume
+        # state agrees, but only rank 0 touches the filesystem — the ckpt
+        # writes inside trainer.save_checkpoint are rank-gated the same way
+        main = is_main_process()
+        if main:
+            self.dirpath.mkdir(parents=True, exist_ok=True)
 
         if self.save_last:
             trainer.save_checkpoint(self.dirpath / "last.ckpt")
@@ -109,17 +116,18 @@ class ModelCheckpoint(Callback):
         if self.save_top_k > 0:  # negative keeps everything
             while len(self._best) > self.save_top_k:
                 _, drop = self._best.pop()
-                if os.path.exists(drop):
+                if main and os.path.exists(drop):
                     os.remove(drop)
 
         canonical = str(self.dirpath / f"{self.filename}.ckpt")
         best_score, best_path = self._best[0]
-        if os.path.exists(canonical):
-            os.remove(canonical)
-        os.link(best_path, canonical)  # hardlink: no extra copy on disk
+        if main:
+            if os.path.exists(canonical):
+                os.remove(canonical)
+            os.link(best_path, canonical)  # hardlink: no extra copy on disk
         self.best_model_path = canonical
         self.best_model_score = best_score
-        if self.verbose:
+        if self.verbose and main:
             log.info("Saved checkpoint %s (score %.6f)", path, score)
 
 

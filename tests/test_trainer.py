@@ -229,3 +229,38 @@ def test_model_checkpoint_topk(tmp_path):
     best = load_checkpoint(tmp_path / "best.ckpt")
     v_best = load_checkpoint(cb._best[0][1])
     assert float(best["state_dict"]["w"][0]) == float(v_best["state_dict"]["w"][0])
+
+
+def test_model_checkpoint_non_main_rank_skips_fs(tmp_path, monkeypatch):
+    """Multi-host: non-main ranks keep identical top-k bookkeeping but never
+    touch the filesystem (trainer.save_checkpoint is rank-gated too, so
+    os.link on a never-written best path would crash — round-2 review fix)."""
+    import msla_tpu.train.callbacks as cbs
+
+    monkeypatch.setattr(cbs, "is_main_process", lambda: False)
+
+    class FakeTrainer:  # save_checkpoint rank-gates to a no-op, like Trainer
+        def save_checkpoint(self, path):
+            pass
+
+    cb = ModelCheckpoint(dirpath=str(tmp_path / "sub"), filename="best",
+                         monitor="m", save_top_k=1, save_last=True, mode="min")
+    for score in [3.0, 1.0, 2.0]:
+        cb.on_validation_end(FakeTrainer(), {"m": score})
+    assert not (tmp_path / "sub").exists()  # no mkdir, no link, no remove
+    assert cb.best_model_score == 1.0      # bookkeeping matches rank 0
+
+
+def test_is_main_process_without_backend(monkeypatch):
+    """is_main_process must not initialize a jax backend (single-client axon
+    tunnel trap); with no backend it answers from the environment."""
+    from msla_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "jax", None)  # would crash if consulted
+    import jax._src.xla_bridge as xb
+
+    monkeypatch.setattr(xb, "_backends", {}, raising=False)
+    monkeypatch.setenv("JAX_PROCESS_INDEX", "1")
+    assert mesh_mod.is_main_process() is False
+    monkeypatch.setenv("JAX_PROCESS_INDEX", "0")
+    assert mesh_mod.is_main_process() is True

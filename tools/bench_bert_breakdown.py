@@ -54,12 +54,12 @@ def main():
 
     def encoder_only(p, tok, am):
         def apply_enc(t, a):
-            bias = (1.0 - a[:, None, None, :]) * -1e9
+            # BertLayer takes a (B, S) key-padding mask (1.0 attend / 0.0 pad)
             x = BertEmbeddings(c, name="embeddings").apply(
                 {"params": p["embeddings"]}, t)
             for i in range(c.num_hidden_layers):
                 x = BertLayer(c, name=f"layer{i}").apply(
-                    {"params": p[f"layer{i}"]}, x, bias)
+                    {"params": p[f"layer{i}"]}, x, a)
             return x
 
         def step(_, ta):

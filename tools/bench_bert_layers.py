@@ -41,7 +41,7 @@ def main():
     am = jnp.ones((B, S), jnp.float32)
     params = bert.init(jax.random.PRNGKey(0), tok)["params"]
     x0 = jnp.asarray(rng.standard_normal((B, S, c.hidden_size)), jnp.float32)
-    bias0 = jnp.zeros((B, 1, 1, S), jnp.float32)
+    mask0 = jnp.ones((B, S), jnp.float32)  # BertLayer key-padding mask: all-attend
 
     # one full chunk: ids out
     t = loop_time(lambda carry, p, tk, a: bert.apply(
@@ -56,10 +56,10 @@ def main():
 
     # single encoder layer
     layer = BertLayer(c, name="layer0")
-    t = loop_time(lambda carry, p, x, bias: layer.apply(
-        {"params": p}, x + carry * 1e-12, bias,
+    t = loop_time(lambda carry, p, x, mask: layer.apply(
+        {"params": p}, x + carry * 1e-12, mask,
         deterministic=True).sum() * 1e-12,
-        params["layer0"], x0, bias0)
+        params["layer0"], x0, mask0)
     print(f"one encoder layer  : {t*1e3:7.2f} ms  (x12x22 = {t*264e3:6.0f} ms)")
 
     # embeddings
