@@ -5,8 +5,9 @@ separation inference ≥10× the PyTorch reference per chip; metrics
 
 Prints ONE JSON line. Headline = the full VQ-VAE train step (fwd+bwd+Adam,
 the composite behind reference src/model/vqvae.py:55-66); the `metrics` dict
-carries the whole catalog — encode+VQ forward, train step fp32/bf16,
-transformer codes/sec, BERT train codes/sec — each with its own
+carries the whole catalog — separation inference (mixture encode → VQ →
+per-stem decode, the north star's second composite), encode+VQ forward,
+train step fp32/bf16, transformer codes/sec, BERT train codes/sec — each with its own
 `vs_baseline` against the cached torch-reference measurement.
 
 Timing: on the axon TPU tunnel, per-call host timing is dominated by relay
@@ -103,6 +104,29 @@ def measure_encode_vq() -> float:
         return res.encoding_indices[0, 0].astype(jnp.float32)
 
     dt = _loop_time(body, params, x)
+    return BATCH * T / dt
+
+
+def measure_separation() -> float:
+    """samples/sec/chip for jitted separation inference: mixture encode → VQ →
+    per-stem decode, only the waveform output consumed (losses DCE'd) — the
+    north star's second composite (reference vqvae.py:81-86 under no_grad,
+    driven by inference.AudioSeparator._separate)."""
+    import jax
+    import jax.numpy as jnp
+
+    task = _make_vqvae_task()
+    net = task.net
+    rng = np.random.default_rng(0)
+    stems = jnp.asarray(rng.standard_normal((BATCH, 4, T)), jnp.float32)
+    mixture = jnp.broadcast_to(stems.sum(axis=1, keepdims=True), stems.shape)
+    params = net.init(jax.random.PRNGKey(0), mixture)["params"]
+
+    def body(carry, params, x):
+        out = net.apply({"params": params}, x + carry * 1e-12).output
+        return out[0, 0, 0] * 1e-12
+
+    dt = _loop_time(body, params, mixture)
     return BATCH * T / dt
 
 
@@ -222,7 +246,8 @@ def measure_torch_reference() -> dict:
     if CACHE.exists():
         cached = json.loads(CACHE.read_text())
         if ("train_step_samples_per_sec" in cached
-                and "bert_train_codes_per_sec" in cached):
+                and "bert_train_codes_per_sec" in cached
+                and "separation_samples_per_sec" in cached):
             return cached
     result = {}
     try:
@@ -246,6 +271,18 @@ def measure_torch_reference() -> dict:
             vq(conv(encoder(x)))
             dt = time.perf_counter() - t0
         result["encode_vq_samples_per_sec"] = bench_batch * T / dt
+
+        # separation inference: full forward (enc → VQ → dec), no_grad —
+        # reference vqvae.py:81-86, the composite behind its predict path
+        decoder_eval = TorchDecoder(in_channel=EMBEDDING_DIM, num_hidden=NUM_HIDDEN,
+                                    num_residual_layer=2,
+                                    num_residual_hidden=32).eval()
+        with torch.no_grad():
+            decoder_eval(vq(conv(encoder(x)))[2])
+            t0 = time.perf_counter()
+            decoder_eval(vq(conv(encoder(x)))[2])
+            dt = time.perf_counter() - t0
+        result["separation_samples_per_sec"] = bench_batch * T / dt
 
         # full train step: fwd (enc+vq+dec) + L1 losses + bwd + Adam
         train_batch = 2
@@ -380,6 +417,7 @@ def main() -> None:
             return None
 
     train_bf16 = timed(measure_train_step, "bfloat16", required=True)
+    separation = timed(measure_separation)
     bert = timed(measure_bert_codes)
     encode = timed(measure_encode_vq)
     transformer = timed(measure_transformer_codes)
@@ -399,6 +437,8 @@ def main() -> None:
             entry(train_bf16, "train_step_samples_per_sec"),
         "vqvae_train_step_samples_per_sec_fp32":
             entry(train_fp32, "train_step_samples_per_sec"),
+        "vqvae_separation_samples_per_sec":
+            entry(separation, "separation_samples_per_sec"),
         "vqvae_encode_vq_samples_per_sec":
             entry(encode, "encode_vq_samples_per_sec"),
         "transformer_codes_per_sec":
