@@ -50,7 +50,7 @@ def conv_k4s2_matmul(x, w):
     wout = t // 2
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
     patches = jnp.concatenate(
-        [jax.lax.slice_in_dim(xp, j, j + 2 * wout, stride=2, axis=1)
+        [jax.lax.slice_in_dim(xp, j, j + 2 * (wout - 1) + 1, stride=2, axis=1)
          for j in range(4)], axis=-1)                       # (B, W, 4C)
     return patches @ w.reshape(4 * c, -1)                   # w: (4, C, Cout)
 
