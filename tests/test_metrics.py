@@ -42,6 +42,24 @@ def test_si_sdr_perfect_reconstruction_is_large():
     assert val > 60  # eps-regularized, not inf
 
 
+def test_si_sdr_analytic_orthogonal_decomposition():
+    """Independent (non-transcription) validation: for est = a·t + n with
+    n ⊥ t, the projection of est onto t is exactly a·t and the residual is n,
+    so SI-SDR(est, t) = 10·log10(a²‖t‖² / ‖n‖²) in closed form."""
+    rng = np.random.default_rng(7)
+    t = rng.standard_normal(4096).astype(np.float64)
+    n = rng.standard_normal(4096).astype(np.float64)
+    n -= (n @ t) / (t @ t) * t                 # exact orthogonalization
+    assert abs(n @ t) < 1e-9 * np.linalg.norm(n) * np.linalg.norm(t)
+    for a, scale in [(1.0, 1.0), (0.3, 1.0), (2.5, 0.01)]:
+        noise = scale * n
+        est = a * t + noise
+        expected = 10 * np.log10((a ** 2) * (t @ t) / (noise @ noise))
+        got = float(si_sdr(jnp.asarray(est[None], jnp.float32),
+                           jnp.asarray(t[None], jnp.float32))[0])
+        np.testing.assert_allclose(got, expected, rtol=1e-3)
+
+
 def test_l1_mse():
     a = jnp.asarray([[1.0, 2.0]])
     b = jnp.asarray([[0.0, 4.0]])
