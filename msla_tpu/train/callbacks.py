@@ -101,7 +101,8 @@ class ModelCheckpoint(Callback):
             self.dirpath.mkdir(parents=True, exist_ok=True)
 
         if self.save_last:
-            trainer.save_checkpoint(self.dirpath / "last.ckpt")
+            trainer.save_checkpoint(self.dirpath / "last.ckpt",
+                                    weights_only=self.save_weights_only)
 
         if math.isnan(score) or not self._qualifies(score):
             return
@@ -110,7 +111,7 @@ class ModelCheckpoint(Callback):
         # cross-stage hard-coded paths keep working.
         path = str(self.dirpath / f"{self.filename}-v{self._version}.ckpt")
         self._version += 1
-        trainer.save_checkpoint(path)
+        trainer.save_checkpoint(path, weights_only=self.save_weights_only)
         self._best.append((score, path))
         self._best.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
         if self.save_top_k > 0:  # negative keeps everything

@@ -19,9 +19,12 @@ from flax import serialization
 
 def _to_numpy_tree(tree: Any) -> Any:
     # to_state_dict flattens NamedTuple/dataclass pytrees (e.g. optax states)
-    # into nested dicts msgpack can serialize
+    # into nested dicts msgpack can serialize. device_get (not per-leaf
+    # np.asarray) starts every device→host copy async BEFORE blocking on the
+    # first — through the axon tunnel a leaf-by-leaf fetch of BERT's ~200
+    # params pays a relay round-trip each, minutes per checkpoint save.
     tree = serialization.to_state_dict(tree)
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,

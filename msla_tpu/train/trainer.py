@@ -127,13 +127,16 @@ class Trainer:
         self._tx = None
 
     # ---- checkpoint plumbing -------------------------------------------------
-    def save_checkpoint(self, path) -> None:
+    def save_checkpoint(self, path, weights_only: bool = False) -> None:
+        """weights_only=True skips the optimizer state (Lightning's
+        `save_weights_only`) — for Audio-BERT that halves a 3.3 GB
+        checkpoint (the 242 M-param reconstruction head's Adam mu/nu)."""
         assert self._state is not None and self._model is not None
         if not is_main_process():  # multi-host: rank 0 owns artifact writes
             return
         save_checkpoint(path,
                         params=self._state.params,
-                        opt_state=self._state.opt_state,
+                        opt_state=None if weights_only else self._state.opt_state,
                         epoch=self.current_epoch,
                         global_step=self.global_step,
                         hparams=getattr(self._model, "hparams", {}),

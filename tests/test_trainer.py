@@ -189,7 +189,7 @@ def test_trainer_predict(fixture_root, tmp_path):
 
 def test_early_stopping_semantics():
     class FakeTrainer:
-        def save_checkpoint(self, path):
+        def save_checkpoint(self, path, weights_only=False):
             save_checkpoint(path, params={"w": np.zeros(1)})
 
     es = EarlyStopping(monitor="validation/loss", patience=2, min_delta=0.0)
@@ -212,7 +212,7 @@ def test_model_checkpoint_topk(tmp_path):
         def __init__(self):
             self.n = 0
 
-        def save_checkpoint(self, path):
+        def save_checkpoint(self, path, weights_only=False):
             save_checkpoint(path, params={"w": np.full(1, self.n)})
             self.n += 1
 
@@ -240,7 +240,7 @@ def test_model_checkpoint_non_main_rank_skips_fs(tmp_path, monkeypatch):
     monkeypatch.setattr(cbs, "is_main_process", lambda: False)
 
     class FakeTrainer:  # save_checkpoint rank-gates to a no-op, like Trainer
-        def save_checkpoint(self, path):
+        def save_checkpoint(self, path, weights_only=False):
             pass
 
     cb = ModelCheckpoint(dirpath=str(tmp_path / "sub"), filename="best",
@@ -249,6 +249,37 @@ def test_model_checkpoint_non_main_rank_skips_fs(tmp_path, monkeypatch):
         cb.on_validation_end(FakeTrainer(), {"m": score})
     assert not (tmp_path / "sub").exists()  # no mkdir, no link, no remove
     assert cb.best_model_score == 1.0      # bookkeeping matches rank 0
+
+
+def test_save_weights_only_skips_opt_state(tmp_path):
+    """ModelCheckpoint(save_weights_only=True) drops the optimizer state from
+    every save (Lightning semantics) — for Audio-BERT that halves a 3.3 GB
+    checkpoint — and the weights-only ckpt still restores (opt state keeps
+    its fresh value, as in Lightning)."""
+    class FakeTrainer:
+        current_epoch = 0
+        global_step = 3
+        callback_metrics = {}
+        callbacks = []
+        _model = type("M", (), {"hparams": {}})()
+
+        def __init__(self):
+            self._state = type("S", (), {"params": {"w": np.ones(4)},
+                                         "opt_state": {"mu": np.ones(4)}})()
+
+        save_checkpoint = Trainer.save_checkpoint
+
+    t = FakeTrainer()
+    cb = ModelCheckpoint(dirpath=str(tmp_path), filename="best", monitor="m",
+                         save_top_k=1, save_last=True, save_weights_only=True)
+    cb.on_validation_end(t, {"m": 1.0})
+    for name in ["best.ckpt", "last.ckpt"]:
+        payload = load_checkpoint(tmp_path / name)
+        assert payload["state_dict"]["w"].shape == (4,)
+        assert payload["opt_state"] == {}, name
+    # full save for comparison keeps it
+    t.save_checkpoint(tmp_path / "full.ckpt")
+    assert load_checkpoint(tmp_path / "full.ckpt")["opt_state"]["mu"].shape == (4,)
 
 
 def test_is_main_process_without_backend(monkeypatch):
