@@ -101,8 +101,12 @@ class ModelCheckpoint(Callback):
             self.dirpath.mkdir(parents=True, exist_ok=True)
 
         if self.save_last:
+            # background: last.ckpt has no hardlink consumers, so its
+            # serialize+write (minutes for the multi-GB BERT state) overlaps
+            # the next epoch; fit() joins pending writes before returning
             trainer.save_checkpoint(self.dirpath / "last.ckpt",
-                                    weights_only=self.save_weights_only)
+                                    weights_only=self.save_weights_only,
+                                    background=True)
 
         if math.isnan(score) or not self._qualifies(score):
             return

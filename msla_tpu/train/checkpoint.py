@@ -9,12 +9,49 @@ global step and hparams, so cross-stage handoff paths
 from __future__ import annotations
 
 import json
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
 from typing import Any
 
 import jax
 import numpy as np
 from flax import serialization
+
+# Background checkpoint writes: the device→host fetch is always synchronous
+# (the next donated train step mutates the buffers), but msgpack-serializing
+# and writing a multi-GB Audio-BERT checkpoint takes minutes on a small host —
+# `background=True` overlaps that part with the next epoch. One worker thread
+# keeps writes ordered; per-path futures let readers/rewriters join first.
+_executor: ThreadPoolExecutor | None = None
+_pending: dict[str, Future] = {}
+_lock = threading.Lock()
+
+
+def _submit(key: str, fn) -> Future:
+    global _executor
+    with _lock:
+        if _executor is None:
+            _executor = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="ckpt-write")
+        fut = _executor.submit(fn)
+        _pending[key] = fut
+    return fut
+
+
+def wait_for_pending(path: str | Path | None = None) -> None:
+    """Block until the background write for `path` (or all writes) lands."""
+    with _lock:
+        futs = ([_pending[str(path)]] if path is not None
+                and str(path) in _pending else
+                list(_pending.values()) if path is None else [])
+    for f in futs:
+        f.result()  # re-raises write errors in the caller
+    with _lock:
+        for k in ([str(path)] if path is not None else list(_pending)):
+            f = _pending.get(k)
+            if f is not None and f.done():
+                _pending.pop(k, None)
 
 
 def _to_numpy_tree(tree: Any) -> Any:
@@ -31,7 +68,8 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     epoch: int = 0, global_step: int = 0,
                     hparams: dict | None = None,
                     callback_metrics: dict | None = None,
-                    callbacks_state: list | None = None) -> None:
+                    callbacks_state: list | None = None,
+                    background: bool = False) -> None:
     payload = {
         "state_dict": _to_numpy_tree(params),
         "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
@@ -44,13 +82,22 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "callbacks": json.dumps(callbacks_state or [], default=str),
     }
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    tmp.write_bytes(serialization.msgpack_serialize(payload))
-    tmp.replace(path)  # atomic on POSIX — a crash never corrupts the file
+    wait_for_pending(path)  # never overlap two writes to the same file
+
+    def _write():
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_bytes(serialization.msgpack_serialize(payload))
+        tmp.replace(path)  # atomic on POSIX — a crash never corrupts the file
+
+    if background:
+        _submit(str(path), _write)
+    else:
+        _write()
 
 
 def load_checkpoint(path: str | Path) -> dict:
+    wait_for_pending(path)  # an in-flight background write to this file
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     payload["hparams"] = json.loads(payload.get("hparams") or "{}")
     payload["callbacks"] = json.loads(payload.get("callbacks") or "[]")

@@ -31,7 +31,8 @@ from flax import struct
 
 from msla_tpu.parallel.mesh import (is_main_process, make_mesh, make_opt_shardings,
                                     make_param_shardings, resolve_devices, shard_batch)
-from msla_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from msla_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                       wait_for_pending)
 
 log = logging.getLogger(__name__)
 
@@ -127,10 +128,14 @@ class Trainer:
         self._tx = None
 
     # ---- checkpoint plumbing -------------------------------------------------
-    def save_checkpoint(self, path, weights_only: bool = False) -> None:
+    def save_checkpoint(self, path, weights_only: bool = False,
+                        background: bool = False) -> None:
         """weights_only=True skips the optimizer state (Lightning's
         `save_weights_only`) — for Audio-BERT that halves a 3.3 GB
-        checkpoint (the 242 M-param reconstruction head's Adam mu/nu)."""
+        checkpoint (the 242 M-param reconstruction head's Adam mu/nu).
+        background=True overlaps the serialize+write with subsequent epochs
+        (the device→host fetch stays synchronous); fit() joins all pending
+        writes before returning."""
         assert self._state is not None and self._model is not None
         if not is_main_process():  # multi-host: rank 0 owns artifact writes
             return
@@ -143,7 +148,8 @@ class Trainer:
                         callback_metrics=self.callback_metrics,
                         callbacks_state=[
                             {"class": type(cb).__name__, "state": cb.state_dict()}
-                            for cb in self.callbacks])
+                            for cb in self.callbacks],
+                        background=background)
 
     def _restore(self, ckpt_path) -> None:
         payload = load_checkpoint(ckpt_path)
@@ -287,6 +293,7 @@ class Trainer:
         try:
             self._fit_inner(model, datamodule, ckpt_path)
         finally:
+            wait_for_pending()  # background checkpoint writes land before exit
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
             if self.detect_anomaly:
@@ -389,6 +396,7 @@ class Trainer:
                         return cb.best_model_path
                     if ckpt_path == "last":
                         last = cb.dirpath / "last.ckpt"
+                        wait_for_pending(last)  # in-flight background save
                         if last.exists():
                             return str(last)
             raise RuntimeError(f"ckpt_path='{ckpt_path}' requested but no "

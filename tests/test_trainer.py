@@ -189,7 +189,7 @@ def test_trainer_predict(fixture_root, tmp_path):
 
 def test_early_stopping_semantics():
     class FakeTrainer:
-        def save_checkpoint(self, path, weights_only=False):
+        def save_checkpoint(self, path, **kw):
             save_checkpoint(path, params={"w": np.zeros(1)})
 
     es = EarlyStopping(monitor="validation/loss", patience=2, min_delta=0.0)
@@ -212,7 +212,7 @@ def test_model_checkpoint_topk(tmp_path):
         def __init__(self):
             self.n = 0
 
-        def save_checkpoint(self, path, weights_only=False):
+        def save_checkpoint(self, path, **kw):
             save_checkpoint(path, params={"w": np.full(1, self.n)})
             self.n += 1
 
@@ -240,7 +240,7 @@ def test_model_checkpoint_non_main_rank_skips_fs(tmp_path, monkeypatch):
     monkeypatch.setattr(cbs, "is_main_process", lambda: False)
 
     class FakeTrainer:  # save_checkpoint rank-gates to a no-op, like Trainer
-        def save_checkpoint(self, path, weights_only=False):
+        def save_checkpoint(self, path, **kw):
             pass
 
     cb = ModelCheckpoint(dirpath=str(tmp_path / "sub"), filename="best",
@@ -280,6 +280,21 @@ def test_save_weights_only_skips_opt_state(tmp_path):
     # full save for comparison keeps it
     t.save_checkpoint(tmp_path / "full.ckpt")
     assert load_checkpoint(tmp_path / "full.ckpt")["opt_state"]["mu"].shape == (4,)
+
+
+def test_background_checkpoint_write_and_join(tmp_path):
+    """background=True defers the serialize+write to a worker thread;
+    load_checkpoint and wait_for_pending join it, and a second save to the
+    same path never overlaps the first."""
+    from msla_tpu.train.checkpoint import wait_for_pending
+
+    for i in range(3):  # repeated saves to one path stay ordered
+        save_checkpoint(tmp_path / "bg.ckpt", params={"w": np.full(8, i)},
+                        global_step=i, background=True)
+    payload = load_checkpoint(tmp_path / "bg.ckpt")  # joins the last write
+    assert payload["global_step"] == 2
+    assert float(payload["state_dict"]["w"][0]) == 2.0
+    wait_for_pending()  # idempotent with nothing in flight
 
 
 def test_is_main_process_without_backend(monkeypatch):
