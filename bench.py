@@ -111,19 +111,24 @@ def measure_separation() -> float:
     """samples/sec/chip for jitted separation inference: mixture encode → VQ →
     per-stem decode, only the waveform output consumed (losses DCE'd) — the
     north star's second composite (reference vqvae.py:81-86 under no_grad,
-    driven by inference.AudioSeparator._separate)."""
+    driven by inference.SourceSeparator._separate)."""
     import jax
     import jax.numpy as jnp
 
     task = _make_vqvae_task()
     net = task.net
+    net_cls = type(net)
     rng = np.random.default_rng(0)
     stems = jnp.asarray(rng.standard_normal((BATCH, 4, T)), jnp.float32)
     mixture = jnp.broadcast_to(stems.sum(axis=1, keepdims=True), stems.shape)
     params = net.init(jax.random.PRNGKey(0), mixture)["params"]
 
     def body(carry, params, x):
-        out = net.apply({"params": params}, x + carry * 1e-12).output
+        # same composite as inference.SourceSeparator._separate: the
+        # inference VQ path (jnp, losses DCE'd), then decode
+        q = net.apply({"params": params}, x + carry * 1e-12,
+                      method=net_cls.get_quantized).quantized
+        out = net.apply({"params": params}, q, method=net_cls.decode)
         return out[0, 0, 0] * 1e-12
 
     dt = _loop_time(body, params, mixture)
@@ -243,13 +248,20 @@ def measure_torch_reference() -> dict:
     Size-normalized (per-sample / per-code) so small CPU batches are
     comparable; see BASELINE.md for methodology + GPU extrapolation notes.
     """
+    cached = {}
     if CACHE.exists():
-        cached = json.loads(CACHE.read_text())
+        try:
+            cached = json.loads(CACHE.read_text())
+        except Exception:
+            cached = {}
         if ("train_step_samples_per_sec" in cached
                 and "bert_train_codes_per_sec" in cached
                 and "separation_samples_per_sec" in cached):
             return cached
-    result = {}
+    # seed with whatever the cache already had: if the fresh re-measurement
+    # fails (reference unmounted, torch import broken), the previously valid
+    # baselines still feed vs_baseline instead of nulling out
+    result = dict(cached)
     try:
         import torch
 

@@ -34,7 +34,13 @@ class SourceSeparator:
 
         @jax.jit
         def _separate(params, frames):  # frames: (B, 4, F)
-            return net.apply({"params": params}, frames).output
+            # inference composite: encode → VQ (inference=True → the jnp
+            # path, so XLA DCEs the loss/perplexity outputs) → decode; the
+            # waveform equals net(frames).output, which would route VQ
+            # through the all-outputs fused TRAINING kernel instead
+            q = net.apply({"params": params}, frames,
+                          method=VQVAENet.get_quantized).quantized
+            return net.apply({"params": params}, q, method=VQVAENet.decode)
 
         self._separate = _separate
 

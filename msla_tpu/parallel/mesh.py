@@ -167,9 +167,18 @@ def is_main_process() -> bool:
     try:
         from jax._src import xla_bridge
 
-        if getattr(xla_bridge, "_backends", None):
+        if hasattr(xla_bridge, "backends_are_initialized"):
+            initialized = xla_bridge.backends_are_initialized()
+        elif hasattr(xla_bridge, "_backends"):
+            initialized = bool(xla_bridge._backends)
+        else:  # private API drifted in BOTH spellings — a silent every-rank-
+            # is-main fallback would race multi-host artifact writes, so ask
+            # jax directly (the backend is inevitably initialized by then in
+            # any process that reached training).
+            initialized = True
+        if initialized:
             return jax.process_index() == 0
-    except Exception:  # pragma: no cover - private-API drift → env fallback
+    except Exception:  # pragma: no cover - import failure → env fallback
         pass
     import os
 

@@ -28,6 +28,11 @@ _pending: dict[str, Future] = {}
 _lock = threading.Lock()
 
 
+def _path_key(path: str | Path) -> str:
+    # normalize so relative/absolute spellings of one file share a key
+    return str(Path(path).expanduser().resolve())
+
+
 def _submit(key: str, fn) -> Future:
     global _executor
     with _lock:
@@ -40,18 +45,26 @@ def _submit(key: str, fn) -> Future:
 
 
 def wait_for_pending(path: str | Path | None = None) -> None:
-    """Block until the background write for `path` (or all writes) lands."""
+    """Block until the background write for `path` (or all writes) lands.
+
+    A failed write re-raises its error here ONCE — the future is always
+    dropped from the registry first, so a later save to the same path can
+    retry instead of replaying a stale exception forever."""
     with _lock:
-        futs = ([_pending[str(path)]] if path is not None
-                and str(path) in _pending else
-                list(_pending.values()) if path is None else [])
-    for f in futs:
-        f.result()  # re-raises write errors in the caller
-    with _lock:
-        for k in ([str(path)] if path is not None else list(_pending)):
-            f = _pending.get(k)
-            if f is not None and f.done():
-                _pending.pop(k, None)
+        if path is not None:
+            key = _path_key(path)
+            items = [(key, _pending.pop(key))] if key in _pending else []
+        else:
+            items = list(_pending.items())
+            _pending.clear()
+    errors = []
+    for _, f in items:
+        try:
+            f.result()
+        except Exception as err:  # surface once, after draining the rest
+            errors.append(err)
+    if errors:
+        raise errors[0]
 
 
 def _to_numpy_tree(tree: Any) -> Any:
@@ -70,6 +83,10 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     callback_metrics: dict | None = None,
                     callbacks_state: list | None = None,
                     background: bool = False) -> None:
+    # join any in-flight write to this file FIRST — both to keep writes
+    # ordered and so at most one multi-GB host payload is resident at a time
+    path = Path(path)
+    wait_for_pending(path)
     payload = {
         "state_dict": _to_numpy_tree(params),
         "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
@@ -81,8 +98,6 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         # rides in the checkpoint so resume doesn't reset it
         "callbacks": json.dumps(callbacks_state or [], default=str),
     }
-    path = Path(path)
-    wait_for_pending(path)  # never overlap two writes to the same file
 
     def _write():
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -91,7 +106,7 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         tmp.replace(path)  # atomic on POSIX — a crash never corrupts the file
 
     if background:
-        _submit(str(path), _write)
+        _submit(_path_key(path), _write)
     else:
         _write()
 

@@ -292,8 +292,12 @@ class Trainer:
             trace_ctx.__enter__()
         try:
             self._fit_inner(model, datamodule, ckpt_path)
+            wait_for_pending()  # a failed background ckpt write fails fit()
         finally:
-            wait_for_pending()  # background checkpoint writes land before exit
+            try:  # drain writes without masking an in-flight exception
+                wait_for_pending()
+            except Exception:
+                log.exception("background checkpoint write failed")
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
             if self.detect_anomaly:

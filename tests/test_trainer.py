@@ -302,11 +302,21 @@ def test_is_main_process_without_backend(monkeypatch):
     tunnel trap); with no backend it answers from the environment."""
     from msla_tpu.parallel import mesh as mesh_mod
 
-    monkeypatch.setattr(mesh_mod, "jax", None)  # would crash if consulted
+    consulted = []
+
+    class JaxSentinel:  # records (rather than crashes on) a backend consult,
+        def process_index(self):  # so the broad except can't hide a regression
+            consulted.append(True)
+            return 0
+
+    monkeypatch.setattr(mesh_mod, "jax", JaxSentinel())
     import jax._src.xla_bridge as xb
 
+    monkeypatch.setattr(xb, "backends_are_initialized", lambda: False,
+                        raising=False)
     monkeypatch.setattr(xb, "_backends", {}, raising=False)
     monkeypatch.setenv("JAX_PROCESS_INDEX", "1")
     assert mesh_mod.is_main_process() is False
     monkeypatch.setenv("JAX_PROCESS_INDEX", "0")
     assert mesh_mod.is_main_process() is True
+    assert not consulted  # jax.process_index() never touched without a backend
