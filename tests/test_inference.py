@@ -34,6 +34,21 @@ def test_separator_full_song(tmp_path):
     np.testing.assert_allclose(joint[:, 2000:], b, rtol=1e-5, atol=1e-6)
 
 
+def test_separator_matches_training_forward(tmp_path):
+    """The separator's inference composite (get_quantized → decode, jnp VQ
+    with losses DCE'd) must produce EXACTLY the training forward's waveform:
+    decoder(quantized_ste) where quantized_ste is value-equal to the gathered
+    codebook rows (round-2 review: the old net() route pulled the all-outputs
+    fused training kernel into inference)."""
+    task, params = make_vqvae(tmp_path)
+    sep = SourceSeparator(task, params, frame_samples=2000, batch_size=2)
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(rng.standard_normal((2, 4, 2000)), jnp.float32)
+    via_inference = np.asarray(sep._separate(params, frames))
+    via_training = np.asarray(task.net.apply({"params": params}, frames).output)
+    np.testing.assert_array_equal(via_inference, via_training)
+
+
 def test_separator_overlap_mode(tmp_path):
     task, params = make_vqvae(tmp_path)
     sep = SourceSeparator(task, params, frame_samples=2000, batch_size=4)
