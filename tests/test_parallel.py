@@ -66,6 +66,37 @@ def test_data_parallel_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_sequence_parallel_step_matches_single_device():
+    """Sequence parallelism (time axis sharded over `model`, XLA conv halo
+    exchange) is a pure layout choice: step == single-device step."""
+    task = make_task()
+    raw = np.random.default_rng(4).standard_normal((8, 4, 1024)).astype(np.float32)
+    batch = mixture(jnp.asarray(raw))
+    params = task.init_variables(jax.random.PRNGKey(0), batch)["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, raw):
+        b = mixture(raw)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: task.loss_fn(p, b, jax.random.PRNGKey(1)), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    p1, loss1 = jax.jit(step)(params, opt_state, jnp.asarray(raw))
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=4)  # data=2 × seq=4
+    seq_sh = NamedSharding(mesh, P("data", None, "model"))
+    p_sp, loss_sp = jax.jit(step)(jax.device_put(params, replicated(mesh)),
+                                  jax.device_put(opt_state, replicated(mesh)),
+                                  jax.device_put(raw, seq_sh))
+    np.testing.assert_allclose(float(loss1), float(loss_sp), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_model_parallel_codebook_sharding():
     """VQ forward with the codebook sharded over the model axis matches
     the replicated result (XLA inserts the gather/collectives)."""
