@@ -221,16 +221,29 @@ def run(cfg: ConfigNode) -> float | None:
     # flags (+generate=False / +visualize=False to disable) and failure-
     # isolated: stale checkpoints from a different config (e.g. another
     # sample rate) must not invalidate a finished training run.
+    def _mismatch_hint(err) -> str:
+        # a flax shape error restoring a checkpoint almost always means the
+        # artifact was trained under a different config (e.g. sample rate)
+        if type(err).__name__ in ("ScopeParamShapeError", "ValueError") \
+                and "shape" in str(err):
+            return (" — the checkpoint under paths.best_checkpoint_dir looks"
+                    " like it was trained with a different config (sample"
+                    " rate / model size); retrain or point paths at the"
+                    " matching artifacts")
+        return ""
+
     if cfg.get("generate", True):
         try:
             generate(cfg)
         except Exception as err:
-            log.warning(f"generate failed ({type(err).__name__}: {err}) — skipping")
+            log.warning(f"generate failed ({type(err).__name__}: {err})"
+                        f"{_mismatch_hint(err)} — skipping")
     if cfg.get("visualize", True):
         try:
             visualize(cfg)
         except Exception as err:
-            log.warning(f"visualize failed ({type(err).__name__}: {err}) — skipping")
+            log.warning(f"visualize failed ({type(err).__name__}: {err})"
+                        f"{_mismatch_hint(err)} — skipping")
 
     return get_metric_value(metric_dict=metric_dict, metric_name=cfg.get("optimized_metric"))
 
