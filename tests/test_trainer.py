@@ -186,6 +186,67 @@ def test_trainer_predict(fixture_root, tmp_path):
     assert len(outputs) == len(dm.predict_dataloader())
     assert outputs[0].shape[1:] == (4, 2 * SR)  # (B=1, 4, T)
 
+    # ragged final batch: predict pads it to the bucket size (static shapes,
+    # no recompile) and slices back — results equal the unpadded forward
+    loader = dm.predict_dataloader()
+    raws = [np.asarray(r) for _, r in zip(range(len(loader)), loader)]
+    if raws and any(r.shape[0] != raws[0].shape[0] for r in raws):
+        import jax.numpy as jnp
+
+        last_raw = raws[-1]
+        direct = task.predict_step(
+            trainer.state.params,
+            dm.on_after_batch_transfer(jnp.asarray(last_raw)))
+        np.testing.assert_allclose(np.asarray(outputs[-1]), np.asarray(direct),
+                                   rtol=1e-5, atol=1e-6)
+    assert all(o.shape[0] == r.shape[0] for o, r in zip(outputs, raws))
+
+
+def test_predict_pads_ragged_final_batch(fixture_root, tmp_path):
+    """A ragged final predict batch is padded to the bucket size (one jit
+    graph, static shapes) by repeating a real row and sliced back — outputs
+    equal the unpadded forward per batch."""
+    import jax.numpy as jnp
+
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+
+    class RaggedPredictDM:
+        """Stock datamodule with a batch-3 non-drop_last predict loader (the
+        stock one is batch_size=1 — never ragged)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.on_after_batch_transfer = inner.on_after_batch_transfer
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def predict_dataloader(self):
+            from msla_tpu.data.loader import DataLoader
+
+            return DataLoader(self._inner.create_dataset(self._inner.test_dir),
+                              batch_size=3, shuffle=False, drop_last=False,
+                              num_workers=0, seed=0)
+
+    rdm = RaggedPredictDM(dm)
+    n_items = len(rdm.predict_dataloader().dataset)
+    if n_items % 3 == 0:  # fixture guard: need a ragged tail
+        n_items -= 1
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, fast_dev_run=True)
+    trainer.fit(task, dm)
+    outputs = trainer.predict(task, rdm)
+
+    loader = rdm.predict_dataloader()
+    raws = [np.asarray(r) for r in loader]
+    assert raws[-1].shape[0] < raws[0].shape[0], "fixture no longer ragged"
+    assert [o.shape[0] for o in outputs] == [r.shape[0] for r in raws]
+    direct = task.predict_step(trainer.state.params,
+                               dm.on_after_batch_transfer(jnp.asarray(raws[-1])))
+    np.testing.assert_allclose(np.asarray(outputs[-1]), np.asarray(direct),
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_early_stopping_semantics():
     class FakeTrainer:
