@@ -15,6 +15,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -77,6 +78,43 @@ def _to_numpy_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
+def _try_device_snapshot(tree: Any):
+    """On-device copy of a pytree (milliseconds of HBM bandwidth), so a
+    background thread can fetch from the COPY while the train loop keeps
+    mutating the donated originals — the device→host transfer leaves the
+    critical path entirely. Returns None when it can't be done safely:
+    host/numpy leaves, or not enough free device memory for a second
+    resident copy.
+
+    OPT-IN via MSLA_CKPT_SNAPSHOT=1: on the single-client axon tunnel the
+    backgrounded fetch contends with the next epoch's dispatches and measured
+    NO better than fetching inline (13.6 vs 6.6 min inter-epoch stall for the
+    3.3 GB Audio-BERT state) — on a co-located TPU host the fetch is
+    PCIe-fast either way and the snapshot removes it from the loop."""
+    import os
+
+    if os.environ.get("MSLA_CKPT_SNAPSHOT", "0") != "1":
+        return None
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not any(isinstance(x, jax.Array) for x in leaves):
+        return None  # pure host tree — nothing to overlap
+    try:
+        dev = next(iter(next(x for x in leaves
+                             if isinstance(x, jax.Array)).devices()))
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if stats and {"bytes_limit", "bytes_in_use"} <= stats.keys():
+            need = sum(getattr(x, "nbytes", 0) for x in leaves
+                       if isinstance(x, jax.Array))
+            if stats["bytes_limit"] - stats["bytes_in_use"] < 1.5 * need:
+                return None  # a second copy would risk OOM — fetch inline
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, tree)
+        jax.block_until_ready(snap)
+        return snap
+    except Exception:  # snapshot is an optimization — never fail the save
+        return None
+
+
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     epoch: int = 0, global_step: int = 0,
                     hparams: dict | None = None,
@@ -87,9 +125,7 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
     # ordered and so at most one multi-GB host payload is resident at a time
     path = Path(path)
     wait_for_pending(path)
-    payload = {
-        "state_dict": _to_numpy_tree(params),
-        "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
+    meta = {
         "epoch": epoch,
         "global_step": global_step,
         "hparams": json.dumps(hparams or {}, default=str),
@@ -99,16 +135,30 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "callbacks": json.dumps(callbacks_state or [], default=str),
     }
 
-    def _write():
+    def _build_payload(p, o):
+        return {"state_dict": _to_numpy_tree(p),
+                "opt_state": _to_numpy_tree(o) if o is not None else {},
+                **meta}
+
+    def _write(payload):
         path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(path.suffix + ".tmp")
         tmp.write_bytes(serialization.msgpack_serialize(payload))
         tmp.replace(path)  # atomic on POSIX — a crash never corrupts the file
 
     if background:
-        _submit(_path_key(path), _write)
+        # fully-async save: device-snapshot now (ms), fetch+serialize+write in
+        # the worker; when the snapshot can't be taken, fetch inline and only
+        # the serialize+write overlaps
+        snap = _try_device_snapshot((params, opt_state))
+        if snap is not None:
+            sp, so = snap
+            _submit(_path_key(path), lambda: _write(_build_payload(sp, so)))
+        else:
+            payload = _build_payload(params, opt_state)
+            _submit(_path_key(path), lambda: _write(payload))
     else:
-        _write()
+        _write(_build_payload(params, opt_state))
 
 
 def load_checkpoint(path: str | Path) -> dict:

@@ -343,6 +343,28 @@ def test_save_weights_only_skips_opt_state(tmp_path):
     assert load_checkpoint(tmp_path / "full.ckpt")["opt_state"]["mu"].shape == (4,)
 
 
+def test_background_save_snapshots_before_donation(tmp_path, monkeypatch):
+    """With MSLA_CKPT_SNAPSHOT=1, background=True snapshots device arrays
+    BEFORE returning, so a donated train step can clobber the original
+    buffers while the worker is still fetching/serializing — the checkpoint
+    must hold the pre-step values."""
+    import jax
+    import jax.numpy as jnp
+    from msla_tpu.train.checkpoint import wait_for_pending
+
+    monkeypatch.setenv("MSLA_CKPT_SNAPSHOT", "1")
+    x = jnp.arange(8, dtype=jnp.float32)
+    save_checkpoint(tmp_path / "snap.ckpt", params={"w": x}, background=True)
+    # donate the original buffer immediately (aliases/invalidates it where
+    # the backend supports donation)
+    x2 = jax.jit(lambda a: a * 0 - 1.0, donate_argnums=0)(x)
+    wait_for_pending()
+    payload = load_checkpoint(tmp_path / "snap.ckpt")
+    np.testing.assert_array_equal(payload["state_dict"]["w"],
+                                  np.arange(8, dtype=np.float32))
+    assert float(x2[0]) == -1.0
+
+
 def test_background_checkpoint_write_and_join(tmp_path):
     """background=True defers the serialize+write to a worker thread;
     load_checkpoint and wait_for_pending join it, and a second save to the
