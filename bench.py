@@ -258,10 +258,11 @@ def measure_torch_reference() -> dict:
                 and "bert_train_codes_per_sec" in cached
                 and "separation_samples_per_sec" in cached):
             return cached
-    # seed with whatever the cache already had: if the fresh re-measurement
-    # fails (reference unmounted, torch import broken), the previously valid
-    # baselines still feed vs_baseline instead of nulling out
-    result = dict(cached)
+    # seed with the cache's NUMERIC baselines only (stale error/note strings
+    # must not outlive a successful re-measurement): if the fresh
+    # re-measurement fails, the previously valid baselines still feed
+    # vs_baseline instead of nulling out
+    result = {k: v for k, v in cached.items() if isinstance(v, (int, float))}
     try:
         import torch
 

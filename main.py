@@ -224,8 +224,7 @@ def run(cfg: ConfigNode) -> float | None:
     def _mismatch_hint(err) -> str:
         # a flax shape error restoring a checkpoint almost always means the
         # artifact was trained under a different config (e.g. sample rate)
-        if type(err).__name__ in ("ScopeParamShapeError", "ValueError") \
-                and "shape" in str(err):
+        if type(err).__name__ == "ScopeParamShapeError":
             return (" — the checkpoint under paths.best_checkpoint_dir looks"
                     " like it was trained with a different config (sample"
                     " rate / model size); retrain or point paths at the"

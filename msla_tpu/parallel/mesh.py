@@ -171,11 +171,17 @@ def is_main_process() -> bool:
             initialized = xla_bridge.backends_are_initialized()
         elif hasattr(xla_bridge, "_backends"):
             initialized = bool(xla_bridge._backends)
-        else:  # private API drifted in BOTH spellings — a silent every-rank-
-            # is-main fallback would race multi-host artifact writes, so ask
-            # jax directly (the backend is inevitably initialized by then in
-            # any process that reached training).
-            initialized = True
+        else:  # private API drifted in BOTH spellings — initializing a
+            # backend from a utility path would claim the single-client TPU
+            # tunnel (the CLAUDE.md trap), so fall back to the env rank, but
+            # LOUDLY: a wrong every-rank-is-main answer races multi-host
+            # artifact writes.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.xla_bridge backend-state API drifted — is_main_process "
+                "falling back to JAX_PROCESS_INDEX (set it on multi-host!)")
+            initialized = False
         if initialized:
             return jax.process_index() == 0
     except Exception:  # pragma: no cover - import failure → env fallback

@@ -59,13 +59,18 @@ def wait_for_pending(path: str | Path | None = None) -> None:
             items = list(_pending.items())
             _pending.clear()
     errors = []
-    for _, f in items:
+    for key, f in items:
         try:
             f.result()
         except Exception as err:  # surface once, after draining the rest
-            errors.append(err)
+            errors.append((key, err))
     if errors:
-        raise errors[0]
+        import logging
+
+        for key, err in errors[1:]:  # don't silently drop the others
+            logging.getLogger(__name__).error(
+                "background checkpoint write to %s failed: %s", key, err)
+        raise errors[0][1]
 
 
 def _to_numpy_tree(tree: Any) -> Any:

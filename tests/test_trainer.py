@@ -230,9 +230,6 @@ def test_predict_pads_ragged_final_batch(fixture_root, tmp_path):
                               num_workers=0, seed=0)
 
     rdm = RaggedPredictDM(dm)
-    n_items = len(rdm.predict_dataloader().dataset)
-    if n_items % 3 == 0:  # fixture guard: need a ragged tail
-        n_items -= 1
     trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
                       log_every_n_steps=0, fast_dev_run=True)
     trainer.fit(task, dm)
