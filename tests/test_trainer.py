@@ -362,6 +362,26 @@ def test_background_save_snapshots_before_donation(tmp_path, monkeypatch):
     assert float(x2[0]) == -1.0
 
 
+def test_background_write_failure_surfaces_once_then_retries(tmp_path):
+    """A failed background write re-raises ONCE at the next join, is dropped
+    from the registry (no stale-error replay), and a later save to the same
+    path retries and succeeds."""
+    import pytest
+    from msla_tpu.train.checkpoint import wait_for_pending
+
+    blocker = tmp_path / "dir"
+    blocker.write_text("")  # a FILE where the ckpt dir should be: mkdir fails
+    target = blocker / "c.ckpt"
+    save_checkpoint(target, params={"w": np.zeros(2)}, background=True)
+    with pytest.raises((FileExistsError, NotADirectoryError)):
+        wait_for_pending()
+    wait_for_pending()  # stale error must NOT replay
+    blocker.unlink()
+    save_checkpoint(target, params={"w": np.ones(2)}, background=True)
+    wait_for_pending()
+    assert float(load_checkpoint(target)["state_dict"]["w"][0]) == 1.0
+
+
 def test_background_checkpoint_write_and_join(tmp_path):
     """background=True defers the serialize+write to a worker thread;
     load_checkpoint and wait_for_pending join it, and a second save to the
