@@ -198,6 +198,46 @@ def measure_transformer_codes() -> float:
     return BATCH * w / dt
 
 
+def measure_transformer_train() -> float:
+    """codes/sec for the transformer TRAIN step (fwd + bwd + Adam over the
+    MSE-per-stem loss — reference composite: src/model/transformer.py:40-54
+    + :206-209). Completes per-family train coverage (VERDICT r2 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from msla_tpu.models.transformer import TransformerTask
+
+    task = TransformerTask(sample_rate=22000, frame_length=2, learning_rate=1e-4,
+                           checkpoint_dir="/tmp/bench_t")
+    w = T // 4
+    rng = np.random.default_rng(0)
+    quantized = jnp.asarray(rng.standard_normal((BATCH, EMBEDDING_DIM, w)), jnp.float32)
+    instruments = jnp.asarray(rng.standard_normal((BATCH, 4, T)), jnp.float32)
+    params = task.init_variables(jax.random.PRNGKey(0), (quantized, instruments))["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def loop(params, opt_state, q, ins):
+        def step(i, carry):
+            p, o, acc = carry
+            (loss, _), grads = jax.value_and_grad(
+                lambda pp: task.loss_fn(pp, (q + acc * 1e-12, ins),
+                                        jax.random.PRNGKey(1)), has_aux=True)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o2, acc + loss * 1e-12
+        _, _, acc = jax.lax.fori_loop(0, ITERS, step, (params, opt_state,
+                                                       jnp.float32(0.0)))
+        return acc
+
+    float(loop(params, opt_state, quantized, instruments))
+    t0 = time.perf_counter()
+    float(loop(params, opt_state, quantized, instruments))
+    dt = (time.perf_counter() - t0) / ITERS
+    return BATCH * w / dt
+
+
 def measure_bert_codes(compute_dtype="bfloat16") -> float:
     """codes/sec for the AudioBert train step (22-chunk scan, fused MLM
     argmax, head-only AdamW) at batch 16 — the reference's worst hot loop
@@ -256,7 +296,8 @@ def measure_torch_reference() -> dict:
             cached = {}
         if ("train_step_samples_per_sec" in cached
                 and "bert_train_codes_per_sec" in cached
-                and "separation_samples_per_sec" in cached):
+                and "separation_samples_per_sec" in cached
+                and "transformer_train_codes_per_sec" in cached):
             return cached
     # seed with the cache's NUMERIC baselines only (stale error/note strings
     # must not outlive a successful re-measurement): if the fresh
@@ -353,6 +394,29 @@ def measure_torch_reference() -> dict:
             dt = time.perf_counter() - t0
         result["transformer_codes_per_sec"] = w / dt
 
+        # transformer TRAIN step (fwd + MSE-per-stem + backward + Adam) —
+        # reference transformer.py:40-54,206-209; same stand-in modules.
+        tr_params = (list(embed.parameters()) + list(tdec.parameters())
+                     + list(head.parameters()))
+        tr_opt = torch.optim.Adam(tr_params, lr=1e-4)
+        tr_target = torch.randn(1, 4, T)
+
+        def tr_step():
+            tr_opt.zero_grad()
+            out = tr_fwd()
+            loss = sum(torch.nn.functional.mse_loss(out[:, i], tr_target[:, i])
+                       for i in range(4))
+            loss.backward()
+            tr_opt.step()
+
+        embed.train(), tdec.train(), head.train()
+        tr_step()  # warm
+        t0 = time.perf_counter()
+        tr_step()
+        dt = time.perf_counter() - t0
+        result["transformer_train_codes_per_sec"] = w / dt
+        embed.eval(), tdec.eval(), head.eval()
+
         # Audio-BERT train step codes/sec. The reference model is a
         # LightningModule (unimportable — lightning absent), so measure a
         # structurally identical stand-in of its hot loop (bert.py:43-97):
@@ -420,29 +484,40 @@ def main() -> None:
     t_start = time.perf_counter()
 
     def timed(fn, *args, required=False):
-        if not required and time.perf_counter() - t_start > budget:
+        elapsed = time.perf_counter() - t_start
+        if not required and elapsed > budget:
             print(f"bench budget spent — skipping {fn.__name__}", file=sys.stderr)
             return None
+        t0 = time.perf_counter()
         try:
-            return fn(*args)
+            out = fn(*args)
         except Exception as err:
             print(f"{fn.__name__} failed: {err}", file=sys.stderr)
             return None
+        # per-metric timing to stderr: a >60 s entry means the graph compiled
+        # cold (cache miss) — the round-2 driver run lost 5/6 metrics this way
+        print(f"{fn.__name__}{args or ''}: {out:.1f} "
+              f"in {time.perf_counter() - t0:.1f}s "
+              f"(t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr)
+        return out
 
     train_bf16 = timed(measure_train_step, "bfloat16", required=True)
-    separation = timed(measure_separation)
+    separation = timed(measure_separation, required=True)
     bert = timed(measure_bert_codes)
     encode = timed(measure_encode_vq)
     transformer = timed(measure_transformer_codes)
+    transformer_train = timed(measure_transformer_train)
     train_fp32 = timed(measure_train_step, None)
     base = measure_torch_reference()
 
     def vs(value, key):
         ref = base.get(key)
-        return round(value / ref, 2) if (value and ref) else None
+        if value is None or not isinstance(ref, (int, float)) or ref <= 0:
+            return None
+        return round(value / ref, 2)
 
     def entry(value, key):
-        return {"value": round(value, 1) if value else None,
+        return {"value": round(value, 1) if value is not None else None,
                 "vs_baseline": vs(value, key)}
 
     metrics = {
@@ -456,6 +531,8 @@ def main() -> None:
             entry(encode, "encode_vq_samples_per_sec"),
         "transformer_codes_per_sec":
             entry(transformer, "transformer_codes_per_sec"),
+        "transformer_train_codes_per_sec":
+            entry(transformer_train, "transformer_train_codes_per_sec"),
         "bert_train_codes_per_sec":
             entry(bert, "bert_train_codes_per_sec"),
     }

@@ -20,11 +20,15 @@ auto-dispatch rule as ops.mlm_argmax).
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 
+log = logging.getLogger(__name__)
+
 _MIN_SEQ = 128  # the TPU kernel needs at least one full lane tile per block
+_warned_fallback = False  # one-time warning when the flash path bails at trace
 
 
 def _xla_attention(q, k, v, kv_mask, sm_scale):
@@ -43,8 +47,8 @@ def _xla_attention(q, k, v, kv_mask, sm_scale):
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
-def _flash(q, k, v, kv_mask, sm_scale: float, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def _flash(q, k, v, kv_mask, sm_scale: float):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds, flash_attention)
 
@@ -75,8 +79,17 @@ def scaled_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if use_flash is None:
         use_flash = jax.default_backend() not in ("cpu",)
     if use_flash and q.shape[2] >= _MIN_SEQ and q.shape[2] % _MIN_SEQ == 0:
+        # Only TRACE-time failures (import drift, shape/dtype rejection) are
+        # catchable here — under an outer jit the Mosaic compile happens later
+        # and a compile-time kernel failure propagates to the caller, which is
+        # the right behavior: a silently slow fallback would mask it.
         try:
             return _flash(q, k, v, kv_mask, float(sm_scale))
-        except Exception:  # pragma: no cover - kernel unsupported → fallback
-            pass
+        except (ImportError, NotImplementedError, ValueError, TypeError) as err:
+            global _warned_fallback
+            if not _warned_fallback:  # pragma: no cover - kernel API drift
+                _warned_fallback = True
+                log.warning("flash attention unavailable at trace time (%s: %s)"
+                            " — falling back to the XLA attention chain",
+                            type(err).__name__, err)
     return _xla_attention(q, k, v, kv_mask, sm_scale)

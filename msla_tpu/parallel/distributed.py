@@ -41,6 +41,9 @@ def setup_distributed(coordinator_address: str | None = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
+    from msla_tpu.parallel.mesh import record_process_rank
+
+    record_process_rank()  # rank known via public API from here on
     log.info("Distributed runtime up: process %d/%d, %d local / %d global devices",
              jax.process_index(), jax.process_count(),
              jax.local_device_count(), jax.device_count())

@@ -30,7 +30,8 @@ import optax
 from flax import struct
 
 from msla_tpu.parallel.mesh import (is_main_process, make_mesh, make_opt_shardings,
-                                    make_param_shardings, resolve_devices, shard_batch)
+                                    make_param_shardings, record_process_rank,
+                                    resolve_devices, shard_batch)
 from msla_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
                                        wait_for_pending)
 
@@ -119,6 +120,9 @@ class Trainer:
 
         self.devices = resolve_devices(accelerator, devices)
         self.mesh = make_mesh(self.devices, model_parallel)
+        # a backend is deliberately up now — pin the rank via the public API
+        # so artifact-write guards stop probing private backend state
+        record_process_rank()
 
         self.callback_metrics: dict[str, float] = {}
         self.current_epoch = 0
@@ -441,20 +445,39 @@ class Trainer:
             batch = datamodule.on_after_batch_transfer(raw)
             return model.predict_step(params, batch)
 
-        outputs = []
         bucket = None
-        for raw, dev_batch in self._prefetched(loader, len(loader)):
-            rows = len(raw)
-            if bucket is None:
-                bucket = rows
-            if rows < bucket:
+
+        def padded(loader):
+            """Pad ragged batches on the HOST before the (single) device
+            transfer — prefetching the raw ragged batch and re-transferring a
+            padded copy would push the whole batch through the slow axon
+            tunnel twice (round-2 ADVICE #4)."""
+            nonlocal bucket
+            for raw in loader:
                 arr = np.asarray(raw)
-                pad = np.broadcast_to(arr[:1], (bucket - rows,) + arr.shape[1:])
-                dev_batch = shard_batch(self.mesh, np.concatenate([arr, pad]))
+                rows = arr.shape[0]
+                if bucket is None:
+                    bucket = rows
+                if rows < bucket:
+                    pad = np.broadcast_to(arr[:1], (bucket - rows,) + arr.shape[1:])
+                    arr = np.concatenate([arr, pad])
+                yield rows, shard_batch(self.mesh, arr)
+
+        outputs = []
+        pending = None  # consume one behind the async transfer (double buffer)
+
+        def consume(rows, dev_batch):
             out = predict_fn(self._state.params, dev_batch)
             if rows < bucket:
                 out = jax.tree.map(lambda o: o[:rows], out)
             outputs.append(out)
+
+        for item in padded(loader):
+            if pending is not None:
+                consume(*pending)
+            pending = item
+        if pending is not None:
+            consume(*pending)
         return outputs
 
     @property

@@ -410,6 +410,7 @@ def test_is_main_process_without_backend(monkeypatch):
             return 0
 
     monkeypatch.setattr(mesh_mod, "jax", JaxSentinel())
+    monkeypatch.setattr(mesh_mod, "_recorded_rank", None)  # no Trainer yet
     import jax._src.xla_bridge as xb
 
     monkeypatch.setattr(xb, "backends_are_initialized", lambda: False,
@@ -419,4 +420,33 @@ def test_is_main_process_without_backend(monkeypatch):
     assert mesh_mod.is_main_process() is False
     monkeypatch.setenv("JAX_PROCESS_INDEX", "0")
     assert mesh_mod.is_main_process() is True
+    monkeypatch.delenv("JAX_PROCESS_INDEX")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")  # jax.distributed's env spelling
+    assert mesh_mod.is_main_process() is False
+    monkeypatch.delenv("JAX_PROCESS_ID")
+    # multi-host hints without any rank info → True (single-process default)
+    # with a one-time warning
+    monkeypatch.setattr(mesh_mod, "_warned_env_fallback", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    assert mesh_mod.is_main_process() is True
+    assert mesh_mod._warned_env_fallback is True
     assert not consulted  # jax.process_index() never touched without a backend
+
+
+def test_is_main_process_recorded_rank(monkeypatch):
+    """Once record_process_rank ran (Trainer init / setup_distributed), the
+    guard answers from the record — no private backend-state probing."""
+    from msla_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod, "_recorded_rank", None)
+    assert mesh_mod.record_process_rank(3) == 3
+    assert mesh_mod.is_main_process() is False
+    mesh_mod.record_process_rank(0)
+    assert mesh_mod.is_main_process() is True
+    monkeypatch.setattr(mesh_mod, "_recorded_rank", None)  # restore
+
+    # Trainer construction records the rank (public-API path)
+    from msla_tpu.train.trainer import Trainer
+
+    Trainer(accelerator="cpu", devices=1, max_epochs=1)
+    assert mesh_mod._recorded_rank == 0
