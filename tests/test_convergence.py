@@ -3,21 +3,29 @@
 The reference has no tests at all (SURVEY.md §4); this guards the whole
 train-step composition (batch transform + fwd/bwd + Adam) against silent
 wiring bugs that finiteness checks would miss.
+
+Parametrized over compute_dtype because bfloat16 is the BENCH HEADLINE
+configuration (BASELINE.md "Precision of the headline"): the bf16 conv-stack
+path must not merely stay finite (test_bf16 pins forward drift) but actually
+CONVERGE with the same bounds as fp32, and land at a comparable final loss.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from msla_tpu.models.vqvae import VQVAETask
 
+_final_losses: dict = {}
 
-def test_vqvae_short_training_reduces_loss(tmp_path):
+
+def _train(tmp_path, compute_dtype):
     task = VQVAETask(num_hidden=32, num_residual_layer=1, num_residual_hidden=16,
                      num_embedding=32, embedding_dim=16, commitment_cost=0.25,
                      learning_rate=3e-3, sample_rate=1000,
                      checkpoint_dir=str(tmp_path), codebook_file=str(tmp_path / "cb.csv"),
-                     use_pallas=False)
+                     use_pallas=False, compute_dtype=compute_dtype)
     rng = np.random.default_rng(0)
     t = np.arange(1024) / 1000.0
     stems = np.stack([
@@ -45,6 +53,12 @@ def test_vqvae_short_training_reduces_loss(tmp_path):
     for _ in range(200):
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
+    return task, params, batch, losses
+
+
+@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
+def test_vqvae_short_training_reduces_loss(tmp_path, compute_dtype):
+    task, params, batch, losses = _train(tmp_path, compute_dtype)
     assert np.isfinite(losses).all()
     # VQ training spikes early while the codebook churns, then converges
     assert losses[-1] < 0.6 * losses[0], f"no learning: {losses[0]:.4f} -> {losses[-1]:.4f}"
@@ -52,3 +66,10 @@ def test_vqvae_short_training_reduces_loss(tmp_path):
 
     final = task.eval_metrics(params, batch, "validation")
     assert float(final["validation/loss"]) < losses[0]
+
+    # bf16 vs fp32 final-loss agreement: the reduced-precision conv stacks
+    # must not change where training lands (identical data/seeds/steps)
+    _final_losses[compute_dtype] = losses[-1]
+    if len(_final_losses) == 2:
+        fp32, bf16 = _final_losses[None], _final_losses["bfloat16"]
+        assert abs(fp32 - bf16) < 0.25 * max(fp32, bf16), (fp32, bf16)
