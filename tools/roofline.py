@@ -18,8 +18,10 @@ Methodology notes:
   - Low MFU on the conv stacks is an HBM-bandwidth statement, not waste:
     4→128-channel width-44k conv chains at batch 64 move far more bytes per
     FLOP than the MXU's compute:bandwidth balance point (v5e: 197 TF/s vs
-    0.82 TB/s → ~240 flops/byte); the table includes bytes and the
-    bandwidth-bound ceiling for comparison.
+    0.82 TB/s → ~240 flops/byte). The byte column is counted on the UNFUSED
+    CPU HLO, so it is an upper bound on traffic — measured times BELOW the
+    bytes/bandwidth line quantify XLA's TPU fusion wins, they do not break
+    physics.
 
 Usage: JAX_PLATFORMS=cpu python tools/roofline.py   (prints a markdown table)
 """
