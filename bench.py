@@ -538,7 +538,7 @@ def main() -> None:
     }
     print(json.dumps({
         "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
-        "value": round(train_bf16, 1) if train_bf16 else None,
+        "value": round(train_bf16, 1) if train_bf16 is not None else None,
         "unit": "samples/sec/chip",
         "vs_baseline": vs(train_bf16, "train_step_samples_per_sec"),
         "metrics": metrics,

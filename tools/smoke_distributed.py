@@ -29,9 +29,19 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PORT = 12355
 NPROC = 2
 LOCAL_DEVICES = 4
+
+
+def _port() -> int:
+    """Coordinator port: parent grabs a free one and hands it to workers."""
+    if "MSLA_SMOKE_PORT" in os.environ:
+        return int(os.environ["MSLA_SMOKE_PORT"])
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def worker(process_id: int, out_dir: str) -> None:
@@ -45,7 +55,7 @@ def worker(process_id: int, out_dir: str) -> None:
     from msla_tpu.parallel.distributed import setup_distributed
     from msla_tpu.parallel import mesh as mesh_mod
 
-    started = setup_distributed(coordinator_address=f"localhost:{PORT}",
+    started = setup_distributed(coordinator_address=f"localhost:{_port()}",
                                 num_processes=NPROC, process_id=process_id)
     assert started, "setup_distributed returned False under explicit args"
     assert jax.process_index() == process_id
@@ -116,6 +126,7 @@ def parent() -> int:
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}").strip()
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    env["MSLA_SMOKE_PORT"] = str(_port())
     procs = [subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                "--worker", str(i), out_dir],
                               env=env, stdout=subprocess.PIPE,
@@ -160,7 +171,9 @@ def parent() -> int:
     lines += ["", f"verdict: {'PASS' if ok else 'FAIL'}"]
     report = "\n".join(lines) + "\n"
     sys.stdout.write(report)
-    with open(os.path.join(REPO, "examples", "distributed_smoke.log"), "w") as fh:
+    log_path = os.environ.get(
+        "MSLA_SMOKE_LOG", os.path.join(REPO, "examples", "distributed_smoke.log"))
+    with open(log_path, "w") as fh:
         fh.write(report)
     return 0 if ok else 1
 
