@@ -1,0 +1,38 @@
+"""The multi-process launcher forms a working global runtime end-to-end.
+
+`msla_tpu.parallel.launch` is the torchrun-equivalent the reference gets from
+Lightning DDP: it only sets env vars and spawns processes — the target script
+opts in by calling `setup_distributed()` (as main.py does). This drives a real
+2-process launch and checks both ranks saw the 8-device global runtime.
+"""
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = textwrap.dedent("""
+    import jax
+    jax.config.update("jax_platforms", "cpu")   # keep off the axon tunnel
+    from msla_tpu.parallel.distributed import setup_distributed
+    from msla_tpu.parallel.mesh import is_main_process
+    assert setup_distributed(), "env vars from the launcher not picked up"
+    print(f"rank={jax.process_index()} global={jax.device_count()} "
+          f"main={is_main_process()}")
+""")
+
+
+def test_launcher_two_process(tmp_path):
+    script = tmp_path / "probe.py"
+    script.write_text(SCRIPT)
+    env = {**os.environ, "PYTHONPATH": f"{REPO}:/root/.axon_site",
+           "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=4").strip()}
+    proc = subprocess.run(
+        [sys.executable, "-m", "msla_tpu.parallel.launch", "--nproc", "2",
+         "--", str(script)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "[rank 0] rank=0 global=8 main=True" in proc.stdout
+    assert "[rank 1] rank=1 global=8 main=False" in proc.stdout
