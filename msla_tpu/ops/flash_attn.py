@@ -85,7 +85,8 @@ def scaled_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         # the right behavior: a silently slow fallback would mask it.
         try:
             return _flash(q, k, v, kv_mask, float(sm_scale))
-        except (ImportError, NotImplementedError, ValueError, TypeError) as err:
+        except (ImportError, NotImplementedError, ValueError, TypeError,
+                AssertionError) as err:  # the kernel rejects shapes via asserts
             global _warned_fallback
             if not _warned_fallback:  # pragma: no cover - kernel API drift
                 _warned_fallback = True

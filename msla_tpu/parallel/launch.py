@@ -34,6 +34,9 @@ import threading
 
 
 def _free_port() -> int:
+    # TOCTOU caveat (shared with torchrun's rendezvous-port pattern): the
+    # port is released before rank 0's coordinator binds it, so a concurrent
+    # service could steal it; pass an explicit --coordinator to avoid.
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]

@@ -13,11 +13,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 from msla_tpu.models.vqvae import VQVAETask
-
-_final_losses: dict = {}
 
 
 def _train(tmp_path, compute_dtype):
@@ -56,20 +53,24 @@ def _train(tmp_path, compute_dtype):
     return task, params, batch, losses
 
 
-@pytest.mark.parametrize("compute_dtype", [None, "bfloat16"])
-def test_vqvae_short_training_reduces_loss(tmp_path, compute_dtype):
-    task, params, batch, losses = _train(tmp_path, compute_dtype)
-    assert np.isfinite(losses).all()
-    # VQ training spikes early while the codebook churns, then converges
-    assert losses[-1] < 0.6 * losses[0], f"no learning: {losses[0]:.4f} -> {losses[-1]:.4f}"
-    assert losses[-1] < 0.5 * losses[60]
+def test_vqvae_short_training_reduces_loss(tmp_path):
+    """Both precisions converge AND land at comparable final losses — one
+    test (not parametrized) so the cross-dtype comparison always runs,
+    regardless of test selection or parallel scheduling."""
+    final_losses = {}
+    for compute_dtype in (None, "bfloat16"):
+        task, params, batch, losses = _train(tmp_path, compute_dtype)
+        assert np.isfinite(losses).all(), compute_dtype
+        # VQ training spikes early while the codebook churns, then converges
+        assert losses[-1] < 0.6 * losses[0], (
+            f"no learning ({compute_dtype}): {losses[0]:.4f} -> {losses[-1]:.4f}")
+        assert losses[-1] < 0.5 * losses[60], compute_dtype
 
-    final = task.eval_metrics(params, batch, "validation")
-    assert float(final["validation/loss"]) < losses[0]
+        final = task.eval_metrics(params, batch, "validation")
+        assert float(final["validation/loss"]) < losses[0]
+        final_losses[compute_dtype] = losses[-1]
 
     # bf16 vs fp32 final-loss agreement: the reduced-precision conv stacks
     # must not change where training lands (identical data/seeds/steps)
-    _final_losses[compute_dtype] = losses[-1]
-    if len(_final_losses) == 2:
-        fp32, bf16 = _final_losses[None], _final_losses["bfloat16"]
-        assert abs(fp32 - bf16) < 0.25 * max(fp32, bf16), (fp32, bf16)
+    fp32, bf16 = final_losses[None], final_losses["bfloat16"]
+    assert abs(fp32 - bf16) < 0.25 * max(fp32, bf16), (fp32, bf16)

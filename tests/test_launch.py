@@ -26,9 +26,11 @@ SCRIPT = textwrap.dedent("""
 def test_launcher_two_process(tmp_path):
     script = tmp_path / "probe.py"
     script.write_text(SCRIPT)
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f]
     env = {**os.environ, "PYTHONPATH": f"{REPO}:/root/.axon_site",
-           "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
-                         + " --xla_force_host_platform_device_count=4").strip()}
+           "XLA_FLAGS": " ".join(
+               kept + ["--xla_force_host_platform_device_count=4"])}
     proc = subprocess.run(
         [sys.executable, "-m", "msla_tpu.parallel.launch", "--nproc", "2",
          "--", str(script)],

@@ -54,7 +54,6 @@ MEASURED_MS = {
     "separation inference": 19.8,
     "encode+VQ forward": 9.35,
     "transformer forward": 6.12,
-    "bert train step": 240.7,
 }
 
 

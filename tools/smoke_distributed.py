@@ -68,10 +68,12 @@ def worker(process_id: int, out_dir: str) -> None:
     # rank guard: recorded via the public API by setup_distributed
     assert mesh_mod.is_main_process() == (process_id == 0)
 
-    # artifact-write probe through the same guard the Trainer/callbacks use
+    # artifact-write probe through the same guard the Trainer/callbacks use;
+    # rank-suffixed filename so the parent can PROVE rank 1 wrote nothing
+    # (a shared path would mask a rank-gate regression)
     if mesh_mod.is_main_process():
-        with open(os.path.join(out_dir, "artifact.txt"), "w") as fh:
-            fh.write("rank0\n")
+        with open(os.path.join(out_dir, f"artifact_rank{process_id}.txt"), "w") as fh:
+            fh.write(f"rank{process_id}\n")
 
     # one dp train step over the GLOBAL 8-device mesh
     import jax.numpy as jnp
@@ -123,8 +125,12 @@ def worker(process_id: int, out_dir: str) -> None:
 def parent() -> int:
     out_dir = tempfile.mkdtemp(prefix="dist_smoke_")
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}").strip()
+    # replace (not append) any existing device-count flag: XLA's duplicate-
+    # flag handling is unspecified, so don't rely on last-wins
+    kept = [f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        kept + [f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"])
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     env["MSLA_SMOKE_PORT"] = str(_port())
     procs = [subprocess.Popen([sys.executable, os.path.abspath(__file__),
@@ -154,9 +160,12 @@ def parent() -> int:
         checks.append(f"losses bit-identical across ranks: {losses[0] == losses[1]}"
                       f" ({losses[0]})")
         ok = ok and losses[0] == losses[1]
-        wrote = os.path.exists(os.path.join(out_dir, "artifact.txt"))
-        checks.append(f"rank-0-only artifact written exactly once: {wrote}")
-        ok = ok and wrote
+        wrote0 = os.path.exists(os.path.join(out_dir, "artifact_rank0.txt"))
+        wrote_others = [i for i in range(1, NPROC) if os.path.exists(
+            os.path.join(out_dir, f"artifact_rank{i}.txt"))]
+        checks.append(f"rank-0 artifact written: {wrote0}; "
+                      f"non-zero ranks that wrote (must be none): {wrote_others}")
+        ok = ok and wrote0 and not wrote_others
 
     lines = [
         "2-process jax.distributed smoke (CPU backend, localhost coordinator)",
