@@ -1,0 +1,151 @@
+"""GPipe-style SPMD pipeline parallelism over the mesh `model` axis.
+
+The reference distributes only via Lightning DDP data parallelism
+(reference: configs/trainer/default.yaml:10 `devices: -1`; SURVEY.md §2
+parallelism table) — pipeline parallelism is a beyond-parity scaling feature
+of this framework. Design is TPU-native rather than a torch translation:
+
+- the homogeneous layer stack (transformer decoder layers, BERT encoder
+  layers) is STACKED on a leading axis and sharded ``P(pipe_axis)``, so each
+  device slice holds exactly its stage's layer parameters;
+- microbatches stream through stages inside one ``jax.shard_map`` body where
+  activations rotate stage→stage+1 via ``lax.ppermute`` each tick (the
+  classic shard_map pipelining recipe from the JAX scaling-book material);
+- the schedule is a statically-unrolled loop of ``n_micro + pp - 1`` ticks
+  (fill + steady state + drain), so XLA sees straight-line code and fuses
+  each stage body;
+- the backward pipeline comes from autodiff: the transpose of ``ppermute``
+  is the reverse rotation, so ``jax.grad`` through the forward schedule IS
+  the reverse bubble schedule — no hand-written backward pass.
+
+Composable with data parallelism: the microbatch dimension is sharded over
+the mesh `data` axis, giving dp × pp on one 2-D mesh with XLA inserting the
+gradient all-reduce over `data` as usual.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from msla_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def stack_layer_params(params, layer_names):
+    """Stack per-layer parameter subtrees (identical structure) on a new
+    leading axis: ``stacked[leaf][i] == params[layer_names[i]][leaf]``."""
+    trees = [params[name] for name in layer_names]
+    return jtu.tree_map(lambda *leaves: jnp.stack(leaves), *trees)
+
+
+def unstack_layer_params(stacked, layer_names):
+    """Inverse of :func:`stack_layer_params` (host-side convenience)."""
+    return {name: jtu.tree_map(lambda a, i=i: a[i], stacked)
+            for i, name in enumerate(layer_names)}
+
+
+def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
+                  data_axis: str = DATA_AXIS, pipe_axis: str = MODEL_AXIS):
+    """Run ``x`` through the stacked layers, pipelined over ``pipe_axis``.
+
+    Args:
+      layer_apply: ``(one_layer_params, h) -> h`` applying a single layer.
+      stacked: pytree from :func:`stack_layer_params`, leading axis =
+        total layer count L (must divide by the pipe axis size).
+      x: activations ``(B, ...)``; B must divide by ``n_micro`` and the
+        resulting microbatch by the data axis size.
+      mesh: 2-D ``(data, model)`` mesh; ``model`` carries the stages.
+      n_micro: number of microbatches streamed through the pipeline.
+
+    Returns ``(B, ...)`` activations after all L layers, bit-comparable to
+    the sequential application (same layer order, same per-layer math).
+    """
+    pp = mesh.shape[pipe_axis]
+    n_layers = jtu.tree_leaves(stacked)[0].shape[0]
+    if n_layers % pp != 0:
+        raise ValueError(f"{n_layers} layers not divisible by {pp} stages")
+    per_stage = n_layers // pp
+    b = x.shape[0]
+    if b % n_micro != 0:
+        raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+    mb = b // n_micro
+    if mb % mesh.shape[data_axis] != 0:
+        raise ValueError(f"microbatch {mb} not divisible by the "
+                         f"{data_axis}={mesh.shape[data_axis]} mesh axis")
+    xm = x.reshape(n_micro, mb, *x.shape[1:])
+
+    def body(stacked_local, xloc):
+        stage = jax.lax.axis_index(pipe_axis)
+
+        def stage_apply(h):
+            for j in range(per_stage):
+                h = layer_apply(jtu.tree_map(lambda a, j=j: a[j], stacked_local), h)
+            return h
+
+        state = jnp.zeros_like(xloc[0])
+        out = jnp.zeros_like(xloc)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+        for tick in range(n_micro + pp - 1):
+            if tick < n_micro:  # stage 0 injects the next microbatch
+                state = jnp.where(stage == 0, xloc[tick], state)
+            state = stage_apply(state)
+            if tick >= pp - 1:  # last stage drains a finished microbatch
+                k = tick - (pp - 1)
+                out = out.at[k].set(jnp.where(stage == pp - 1, state, out[k]))
+            if pp > 1:
+                state = jax.lax.ppermute(state, pipe_axis, perm)
+        return out[None]  # (1, n_micro, mb_local, ...) → global (pp, ...)
+
+    act_tail = (None,) * (x.ndim - 1)
+    y = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(pipe_axis), P(None, data_axis, *act_tail)),
+        out_specs=P(pipe_axis, None, data_axis, *act_tail),
+        check_vma=False,  # stage-gated writes are deliberately device-varying
+    )(stacked, xm)
+    return y[-1].reshape(b, *x.shape[1:])
+
+
+def pipelined_transformer_apply(net, params, quantized, mesh: Mesh, *,
+                                n_micro: int, data_axis: str = DATA_AXIS,
+                                pipe_axis: str = MODEL_AXIS):
+    """Deterministic TransformerQuantizerNet forward with the decoder-layer
+    stack pipelined over the mesh `model` axis.
+
+    Mirrors ``TransformerQuantizerNet.__call__`` (nn/transformer_net.py)
+    exactly — embed → positional encoding → L pipelined decoder layers →
+    stem reshape → output projection — and is asserted equal to the
+    unpipelined ``net.apply`` in tests/test_pipeline.py.
+    """
+    from flax import linen as nn
+
+    from msla_tpu.nn.attention import causal_mask
+    from msla_tpu.nn.positional import PositionalEncoding
+    from msla_tpu.nn.transformer_net import DecoderLayer
+
+    b, s, _ = quantized.shape
+    x = nn.Dense(net.hidden_dim, dtype=net.compute_dtype, name="embedding").apply(
+        {"params": params["embedding"]}, quantized).astype(jnp.float32)
+    x = PositionalEncoding(net.hidden_dim, mode=net.positional_mode).apply(
+        {"params": {}}, x)
+    mask = causal_mask(s, x.dtype)
+
+    layer = DecoderLayer(net.hidden_dim, net.num_heads, dropout=net.dropout,
+                         zero_memory=net.zero_memory, dtype=net.compute_dtype)
+    layer_apply = partial(_apply_decoder_layer, layer, mask)
+    stacked = stack_layer_params(params, [f"layer{i}" for i in range(net.num_layers)])
+    x = spmd_pipeline(layer_apply, stacked, x, mesh, n_micro=n_micro,
+                      data_axis=data_axis, pipe_axis=pipe_axis)
+
+    x = x.reshape(b, 4, (s * net.hidden_dim) // 4)
+    out = nn.Dense(net.output_dim, dtype=net.compute_dtype, name="fc").apply(
+        {"params": params["fc"]}, x)
+    return out.astype(jnp.float32)
+
+
+def _apply_decoder_layer(layer, mask, layer_params, h):
+    return layer.apply({"params": layer_params}, h, None, mask,
+                       deterministic=True)

@@ -1,0 +1,125 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe-style microbatch
+pipelining over the mesh `model` axis must be a pure execution-layout choice
+— same math, same gradients as the sequential stack.
+
+The reference has no pipeline parallelism (DDP only); these tests cover the
+beyond-parity scaling feature on the virtual 8-device CPU mesh.
+"""
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from msla_tpu.parallel.pipeline import (pipelined_transformer_apply,
+                                        spmd_pipeline, stack_layer_params,
+                                        unstack_layer_params)
+
+
+def _mesh(dp: int, pp: int) -> Mesh:
+    devs = np.asarray(jax.devices()[: dp * pp]).reshape(dp, pp)
+    return Mesh(devs, ("data", "model"))
+
+
+def _toy_layers(n_layers: int, d: int, rng: np.random.Generator):
+    """Per-layer params for h -> tanh(h @ w + b)."""
+    return {f"layer{i}": {"w": jnp.asarray(rng.standard_normal((d, d)) * 0.3,
+                                           jnp.float32),
+                          "b": jnp.asarray(rng.standard_normal(d) * 0.1,
+                                           jnp.float32)}
+            for i in range(n_layers)}
+
+
+def _toy_apply(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+
+@pytest.mark.parametrize("dp,pp,n_micro", [(2, 4, 4), (4, 2, 2), (8, 1, 2)])
+def test_spmd_pipeline_matches_sequential(dp, pp, n_micro):
+    rng = np.random.default_rng(0)
+    n_layers, d, b = 4, 8, 16
+    params = _toy_layers(n_layers, d, rng)
+    names = list(params)
+    x = jnp.asarray(rng.standard_normal((b, 3, d)), jnp.float32)
+
+    seq = x
+    for name in names:
+        seq = _toy_apply(params[name], seq)
+
+    stacked = stack_layer_params(params, names)
+    mesh = _mesh(dp, pp)
+    piped = jax.jit(lambda s, xx: spmd_pipeline(
+        _toy_apply, s, xx, mesh, n_micro=n_micro))(stacked, x)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(seq),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_stack_roundtrip():
+    rng = np.random.default_rng(1)
+    params = _toy_layers(3, 4, rng)
+    names = list(params)
+    back = unstack_layer_params(stack_layer_params(params, names), names)
+    jtu.tree_map(lambda a, c: np.testing.assert_array_equal(np.asarray(a),
+                                                            np.asarray(c)),
+                 params, back)
+
+
+def _small_net():
+    from msla_tpu.nn.transformer_net import TransformerQuantizerNet
+
+    return TransformerQuantizerNet(input_dim=32, output_dim=128, hidden_dim=16,
+                                   num_layers=4, num_heads=2, dropout=0.0)
+
+
+@pytest.mark.parametrize("dp,pp,n_micro", [(2, 4, 4), (4, 2, 4)])
+def test_pipelined_transformer_matches_net(dp, pp, n_micro):
+    rng = np.random.default_rng(2)
+    net = _small_net()
+    quantized = jnp.asarray(rng.standard_normal((16, 8, 32)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), quantized, deterministic=True)["params"]
+
+    ref = net.apply({"params": params}, quantized, deterministic=True)
+    mesh = _mesh(dp, pp)
+    piped = jax.jit(lambda p, q: pipelined_transformer_apply(
+        net, p, q, mesh, n_micro=n_micro))(params, quantized)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_gradients_match_sequential():
+    """Backward through the ppermute schedule == backward through the stack."""
+    rng = np.random.default_rng(3)
+    net = _small_net()
+    quantized = jnp.asarray(rng.standard_normal((16, 8, 32)), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((16, 4, 128)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), quantized, deterministic=True)["params"]
+    mesh = _mesh(2, 4)
+
+    def loss_seq(p):
+        out = net.apply({"params": p}, quantized, deterministic=True)
+        return jnp.mean((out - target) ** 2)
+
+    def loss_pp(p):
+        out = pipelined_transformer_apply(net, p, quantized, mesh, n_micro=4)
+        return jnp.mean((out - target) ** 2)
+
+    l_seq, g_seq = jax.value_and_grad(loss_seq)(params)
+    l_pp, g_pp = jax.jit(jax.value_and_grad(loss_pp))(params)
+    np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
+    jtu.tree_map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_pp, g_seq)
+
+
+def test_pipeline_rejects_indivisible():
+    rng = np.random.default_rng(4)
+    params = _toy_layers(3, 4, rng)  # 3 layers, 2 stages → error
+    stacked = stack_layer_params(params, list(params))
+    x = jnp.ones((8, 4), jnp.float32)
+    mesh = _mesh(4, 2)
+    with pytest.raises(ValueError, match="layers"):
+        spmd_pipeline(_toy_apply, stacked, x, mesh, n_micro=2)
+    params4 = _toy_layers(4, 4, rng)
+    stacked4 = stack_layer_params(params4, list(params4))
+    with pytest.raises(ValueError, match="n_micro"):
+        spmd_pipeline(_toy_apply, stacked4, x, mesh, n_micro=3)
