@@ -48,17 +48,21 @@ def unstack_layer_params(stacked, layer_names):
 
 
 def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
-                  data_axis: str = DATA_AXIS, pipe_axis: str = MODEL_AXIS):
+                  aux=None, data_axis: str = DATA_AXIS,
+                  pipe_axis: str = MODEL_AXIS):
     """Run ``x`` through the stacked layers, pipelined over ``pipe_axis``.
 
     Args:
-      layer_apply: ``(one_layer_params, h) -> h`` applying a single layer.
+      layer_apply: ``(one_layer_params, h) -> h`` applying a single layer —
+        or ``(one_layer_params, h, aux_mb) -> h`` when ``aux`` is given.
       stacked: pytree from :func:`stack_layer_params`, leading axis =
         total layer count L (must divide by the pipe axis size).
       x: activations ``(B, ...)``; B must divide by ``n_micro`` and the
         resulting microbatch by the data axis size.
       mesh: 2-D ``(data, model)`` mesh; ``model`` carries the stages.
       n_micro: number of microbatches streamed through the pipeline.
+      aux: optional per-example constant ``(B, ...)`` (e.g. an attention
+        mask) that travels alongside each microbatch through the stages.
 
     Returns ``(B, ...)`` activations after all L layers, bit-comparable to
     the sequential application (same layer order, same per-layer math).
@@ -76,36 +80,45 @@ def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
         raise ValueError(f"microbatch {mb} not divisible by the "
                          f"{data_axis}={mesh.shape[data_axis]} mesh axis")
     xm = x.reshape(n_micro, mb, *x.shape[1:])
+    auxm = (aux.reshape(n_micro, mb, *aux.shape[1:]) if aux is not None
+            else jnp.zeros((n_micro, mb, 1), x.dtype))  # placeholder, unread
 
-    def body(stacked_local, xloc):
+    def body(stacked_local, xloc, auxloc):
         stage = jax.lax.axis_index(pipe_axis)
 
-        def stage_apply(h):
+        def stage_apply(h, a):
             for j in range(per_stage):
-                h = layer_apply(jtu.tree_map(lambda a, j=j: a[j], stacked_local), h)
+                p = jtu.tree_map(lambda t, j=j: t[j], stacked_local)
+                h = layer_apply(p, h, a) if aux is not None else layer_apply(p, h)
             return h
 
         state = jnp.zeros_like(xloc[0])
+        astate = jnp.zeros_like(auxloc[0])
         out = jnp.zeros_like(xloc)
         perm = [(i, (i + 1) % pp) for i in range(pp)]
         for tick in range(n_micro + pp - 1):
             if tick < n_micro:  # stage 0 injects the next microbatch
                 state = jnp.where(stage == 0, xloc[tick], state)
-            state = stage_apply(state)
+                astate = jnp.where(stage == 0, auxloc[tick], astate)
+            state = stage_apply(state, astate)
             if tick >= pp - 1:  # last stage drains a finished microbatch
                 k = tick - (pp - 1)
                 out = out.at[k].set(jnp.where(stage == pp - 1, state, out[k]))
             if pp > 1:
                 state = jax.lax.ppermute(state, pipe_axis, perm)
+                if aux is not None:
+                    astate = jax.lax.ppermute(astate, pipe_axis, perm)
         return out[None]  # (1, n_micro, mb_local, ...) → global (pp, ...)
 
     act_tail = (None,) * (x.ndim - 1)
+    aux_tail = (None,) * (auxm.ndim - 2)
     y = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(pipe_axis), P(None, data_axis, *act_tail)),
+        in_specs=(P(pipe_axis), P(None, data_axis, *act_tail),
+                  P(None, data_axis, *aux_tail)),
         out_specs=P(pipe_axis, None, data_axis, *act_tail),
         check_vma=False,  # stage-gated writes are deliberately device-varying
-    )(stacked, xm)
+    )(stacked, xm, auxm)
     return y[-1].reshape(b, *x.shape[1:])
 
 
@@ -149,3 +162,54 @@ def pipelined_transformer_apply(net, params, quantized, mesh: Mesh, *,
 def _apply_decoder_layer(layer, mask, layer_params, h):
     return layer.apply({"params": layer_params}, h, None, mask,
                        deterministic=True)
+
+
+def pipelined_bert_apply(bert, params, input_ids, mesh: Mesh, *,
+                         n_micro: int, attention_mask=None,
+                         return_mlm_hidden: bool = False,
+                         data_axis: str = DATA_AXIS,
+                         pipe_axis: str = MODEL_AXIS):
+    """Deterministic BertForMaskedLM forward with the 12-layer encoder stack
+    pipelined over the mesh `model` axis (per-example attention masks ride
+    along as pipeline aux state).
+
+    Mirrors ``BertForMaskedLM.__call__`` (nn/bert.py:105-138) — embeddings →
+    L pipelined encoder layers → MLM transform/norm [→ tied decoder] — and is
+    asserted equal to the unpipelined ``bert.apply`` in
+    tests/test_pipeline.py. This is the stage where pipeline parallelism
+    pays: the Audio-BERT state is the framework's largest (PERFORMANCE.md
+    checkpoint section), so staging its encoder over devices divides
+    per-device parameter + activation residency by the stage count.
+    """
+    from flax import linen as nn
+
+    from msla_tpu.nn.bert import BertEmbeddings, BertLayer
+
+    c = bert.config
+    if attention_mask is None:
+        attention_mask = jnp.ones_like(input_ids)
+    attention_mask = attention_mask.astype(jnp.float32)
+
+    x = BertEmbeddings(c).apply({"params": params["embeddings"]}, input_ids,
+                                deterministic=True)
+    layer = BertLayer(c)
+    stacked = stack_layer_params(params,
+                                 [f"layer{i}" for i in range(c.num_hidden_layers)])
+    x = spmd_pipeline(partial(_apply_bert_layer, layer), stacked, x, mesh,
+                      n_micro=n_micro, aux=attention_mask,
+                      data_axis=data_axis, pipe_axis=pipe_axis)
+
+    h = nn.Dense(c.hidden_size).apply({"params": params["mlm_transform"]}, x)
+    h = jax.nn.gelu(h, approximate=False)
+    h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=c.compute_dtype).apply(
+        {"params": params["mlm_norm"]}, h)
+    if return_mlm_hidden:
+        return h
+    word_embeddings = params["embeddings"]["word_embeddings"]["embedding"]
+    logits = jax.lax.dot_general(h, word_embeddings, (((2,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    return logits + params["mlm_bias"]
+
+
+def _apply_bert_layer(layer, layer_params, h, mask):
+    return layer.apply({"params": layer_params}, h, mask, deterministic=True)

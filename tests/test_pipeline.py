@@ -111,6 +111,40 @@ def test_pipeline_gradients_match_sequential():
         np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_pp, g_seq)
 
 
+def test_pipelined_bert_matches_net():
+    """BERT encoder pipelining with per-example attention masks riding the
+    pipeline as aux state — must match the plain forward exactly."""
+    from msla_tpu.nn.bert import BertConfig, BertForMaskedLM
+    from msla_tpu.parallel.pipeline import pipelined_bert_apply
+
+    rng = np.random.default_rng(5)
+    config = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=4,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=64)
+    bert = BertForMaskedLM(config)
+    input_ids = jnp.asarray(rng.integers(0, 64, (16, 12)), jnp.int32)
+    # ragged padding: sample i keeps 6 + i % 7 real tokens
+    lengths = 6 + np.arange(16) % 7
+    mask = jnp.asarray((np.arange(12)[None, :] < lengths[:, None]), jnp.int32)
+    params = bert.init(jax.random.PRNGKey(0), input_ids,
+                       deterministic=True)["params"]
+
+    ref = bert.apply({"params": params}, input_ids, attention_mask=mask,
+                     deterministic=True)
+    mesh = _mesh(2, 4)
+    piped = jax.jit(lambda p, ids, m: pipelined_bert_apply(
+        bert, p, ids, mesh, n_micro=4, attention_mask=m))(params, input_ids, mask)
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    ref_h = bert.apply({"params": params}, input_ids, attention_mask=mask,
+                       deterministic=True, return_mlm_hidden=True)
+    piped_h = pipelined_bert_apply(bert, params, input_ids, mesh, n_micro=2,
+                                   attention_mask=mask, return_mlm_hidden=True)
+    np.testing.assert_allclose(np.asarray(piped_h), np.asarray(ref_h),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_rejects_indivisible():
     rng = np.random.default_rng(4)
     params = _toy_layers(3, 4, rng)  # 3 layers, 2 stages → error
