@@ -39,6 +39,17 @@ class TaskModule:
                      mode: str) -> Mapping[str, jax.Array]:
         raise NotImplementedError
 
+    #: set True (and implement pipeline_loss_fn) on tasks whose layer stack
+    #: can train pipeline-parallel (Trainer `pipeline_parallel` knob)
+    supports_pipeline: bool = False
+
+    def pipeline_loss_fn(self, params: Any, batch, rng: jax.Array, mesh,
+                         n_micro: int) -> Tuple[jax.Array, Mapping[str, jax.Array]]:
+        """loss_fn with the layer stack pipelined over the mesh `model` axis
+        (parallel/pipeline.py). Beyond-reference scaling hook; no Lightning
+        equivalent."""
+        raise NotImplementedError(f"{type(self).__name__} has no pipeline-parallel path")
+
     # ---- host-side hooks -----------------------------------------------------
     def on_train_epoch_end(self, trainer, params: Any) -> None:
         pass

@@ -68,6 +68,27 @@ class TransformerTask(TaskModule):
             loss = loss + mse_loss(output[:, i, :], instruments[:, i, :])
         return loss, {"train/loss": loss}
 
+    supports_pipeline = True
+
+    def pipeline_loss_fn(self, params, batch, rng, mesh, n_micro: int):
+        """Training loss with the decoder-layer stack pipelined over the mesh
+        `model` axis (Trainer `pipeline_parallel` knob; parallel/pipeline.py).
+
+        Same per-stem MSE as loss_fn; the pipelined forward is deterministic
+        (dropout off) — microbatches stream through stages via lax.ppermute
+        and per-stage dropout rng plumbing is not worth diverging from the
+        sequential numerics for. Use dropout=0.0 configs to make pp runs
+        bit-comparable with the standard path (tests/test_parallel.py)."""
+        from msla_tpu.parallel.pipeline import pipelined_transformer_apply
+
+        quantized, instruments = batch
+        output = pipelined_transformer_apply(self.net, params, quantized, mesh,
+                                             n_micro=n_micro)
+        loss = jnp.asarray(0.0)
+        for i in range(4):
+            loss = loss + mse_loss(output[:, i, :], instruments[:, i, :])
+        return loss, {"train/loss": loss}
+
     def eval_metrics(self, params, batch, mode: str):
         """Metric catalog (reference: transformer.py:84-141)."""
         quantized, instruments = batch

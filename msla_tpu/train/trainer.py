@@ -93,6 +93,8 @@ class Trainer:
                  limit_test_batches: float = 1.0,
                  num_nodes: int = 1,
                  model_parallel: int = 1,
+                 pipeline_parallel: int = 1,
+                 pipeline_microbatches: int = 2,
                  precision: str = "medium",
                  seed: int = 0):
         self.default_root_dir = Path(default_root_dir)
@@ -118,8 +120,17 @@ class Trainer:
                                  "highest": "highest", "32": "highest"}.get(
             str(precision), "default")
 
+        # tp and pp both occupy the mesh `model` axis (2-D mesh): tp shards
+        # parameters over it, pp stages the layer stack over it
+        self.pipeline_parallel = max(1, int(pipeline_parallel))
+        self.pipeline_microbatches = int(pipeline_microbatches)
+        if model_parallel > 1 and self.pipeline_parallel > 1:
+            raise ValueError("model_parallel and pipeline_parallel both use the "
+                             "`model` mesh axis — pick one")
         self.devices = resolve_devices(accelerator, devices)
-        self.mesh = make_mesh(self.devices, model_parallel)
+        self.mesh = make_mesh(self.devices,
+                              model_parallel if model_parallel > 1
+                              else self.pipeline_parallel)
         # a backend is deliberately up now — pin the rank via the public API
         # so artifact-write guards stop probing private backend state
         record_process_rank()
@@ -224,7 +235,17 @@ class Trainer:
         # tp_param_spec rules shard codebook/FFN/wide-conv kernels over the
         # `model` axis. The optimizer state is built INSIDE jit from the
         # already-sharded params so its mu/nu mirror the param shardings.
-        self._param_shardings = make_param_shardings(self.mesh, params)
+        # Pipeline parallelism keeps params REPLICATED here (the tp rules
+        # must not also claim the `model` axis): the per-stage placement is
+        # the stacked layout spmd_pipeline builds inside the step.
+        if self.pipeline_parallel > 1:
+            from msla_tpu.parallel.mesh import replicated
+            import jax.tree_util as jtu
+
+            repl = replicated(self.mesh)
+            self._param_shardings = jtu.tree_map(lambda _: repl, params)
+        else:
+            self._param_shardings = make_param_shardings(self.mesh, params)
         self._opt_shardings = make_opt_shardings(self.mesh, self._tx, params,
                                                  self._param_shardings)
         params = jax.device_put(params, self._param_shardings)
@@ -240,6 +261,11 @@ class Trainer:
         base_rng = jax.random.PRNGKey(self.seed + 1)
         train_transform = getattr(datamodule, "train_transform",
                                   lambda batch, rng: batch)
+        use_pp = self.pipeline_parallel > 1
+        if use_pp and not getattr(model, "supports_pipeline", False):
+            raise ValueError(f"pipeline_parallel={self.pipeline_parallel} but "
+                             f"{type(model).__name__} has no pipeline-parallel "
+                             "path (supports_pipeline is False)")
 
         def step_fn(state: TrainState, raw_batch: jax.Array) -> tuple[TrainState, dict]:
             with jax.default_matmul_precision(self.matmul_precision):
@@ -248,6 +274,9 @@ class Trainer:
                 batch = datamodule.on_after_batch_transfer(raw_batch)
 
                 def lf(params):
+                    if use_pp:
+                        return model.pipeline_loss_fn(params, batch, rng, self.mesh,
+                                                      self.pipeline_microbatches)
                     return model.loss_fn(params, batch, rng)
 
                 (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
