@@ -231,3 +231,84 @@ def test_transformer_training_trajectory_parity():
     # (step 0 is bit-tight; a wrong eps/bias-correction diverges >10x this)
     np.testing.assert_allclose(j_losses, t_losses, rtol=1e-3, atol=1e-5)
     assert t_losses[-1] < t_losses[0]  # it actually learns under MSE
+
+
+def test_bert_head_training_trajectory_parity():
+    """Lockstep protocol for the BERT family. In the reference the argmax
+    between BERT and the reconstruction head blocks all gradient flow into
+    BERT (bert.py:67 — grads are None, so AdamW skips those tensors
+    entirely); the ONLY training dynamics of the stage are torch.optim.AdamW
+    (bert.py:234-236, weight_decay 0.01 — the one decayed optimizer in the
+    reference) on the Conv1d(64→4,k4,s2,p1) + Linear(T/8→T) head
+    (bert.py:40-41) under the Σ-per-stem L1 loss (bert.py:96-103). This test
+    steps that composite side-by-side from identical converted weights; the
+    quantized input (post argmax→rescale→one-hot→codebook) is a shared
+    constant per batch, exactly as the head sees it."""
+    from msla_tpu.models.bert import AudioBertHead
+    from msla_tpu.utils.torch_compat import conv_kernel, linear_kernel
+
+    t_len, emb_dim, b, lr, steps = 128, 64, 4, 1e-3, 8
+    torch.manual_seed(1)
+    t_conv = torch.nn.Conv1d(emb_dim, 4, kernel_size=4, stride=2, padding=1)
+    t_lin = torch.nn.Linear(t_len // 8, t_len)
+    topt = torch.optim.AdamW(list(t_conv.parameters()) + list(t_lin.parameters()),
+                             lr=lr)  # defaults incl. weight_decay=0.01
+
+    params = {
+        "conv": {"conv": {"kernel": jnp.array(conv_kernel(t_conv.weight.detach())),
+                          "bias": jnp.array(np.array(t_conv.bias.detach(), copy=True))}},
+        "linear": {"dense": {"kernel": jnp.array(linear_kernel(t_lin.weight.detach())),
+                             "bias": jnp.array(np.array(t_lin.bias.detach(), copy=True))}},
+    }
+    head = AudioBertHead(output_dim=t_len)
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt = tx.init(params)
+
+    @jax.jit
+    def jstep(params, opt, quantized, instruments):
+        def loss_fn(p):
+            out = head.apply({"params": p}, quantized)
+            return sum(jnp.mean(jnp.abs(out[:, i] - instruments[:, i]))
+                       for i in range(4))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    rng = np.random.default_rng(11)
+    num_embedding = 16
+    codebook = rng.standard_normal((num_embedding, emb_dim)).astype(np.float32)
+    t_losses, j_losses = [], []
+    for _ in range(steps):
+        # the head's input, built the reference's way (bert.py:75-82):
+        # argmax ids → round(ids/max·(512-1)) → clip to codebook → one-hot →
+        # codebook matmul → (B, W/4, C) → bcw
+        ids = rng.integers(0, num_embedding, b * (t_len // 4))
+        ids = np.round(ids / ids.max() * 511).clip(0, num_embedding - 1).astype(np.int64)
+        quantized = codebook[ids].reshape(b, t_len // 4, emb_dim)
+        quantized_bcw = np.swapaxes(quantized, 1, 2).copy()
+        instruments = (rng.standard_normal((b, 4, t_len)) * 0.3).astype(np.float32)
+
+        topt.zero_grad()
+        t_out = t_lin(t_conv(torch.from_numpy(quantized_bcw)))
+        tl = sum(torch.nn.functional.l1_loss(t_out[:, i],
+                                             torch.from_numpy(instruments[:, i]))
+                 for i in range(4))
+        tl.backward()
+        topt.step()
+        t_losses.append(float(tl.detach()))
+
+        params, opt, jl = jstep(params, opt, jnp.asarray(quantized_bcw),
+                                jnp.asarray(instruments))
+        j_losses.append(float(jl))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=1e-4, atol=1e-5)
+    # final params track — a wrong weight-decay placement (decoupled vs L2)
+    # diverges far beyond this after 8 steps
+    np.testing.assert_allclose(
+        np.asarray(params["conv"]["conv"]["kernel"]),
+        conv_kernel(t_conv.weight.detach()), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["linear"]["dense"]["kernel"]),
+        linear_kernel(t_lin.weight.detach()), rtol=1e-3, atol=1e-5)
+    assert t_losses[-1] < t_losses[0]
