@@ -54,6 +54,8 @@ MEASURED_MS = {
     "separation inference": 19.8,
     "encode+VQ forward": 9.35,
     "transformer forward": 6.12,
+    # 22.7 M codes/s (PERFORMANCE.md) → 64·11000 / 22.7e6 = 31.0 ms
+    "transformer train step": 31.0,
 }
 
 
@@ -134,6 +136,32 @@ def transformer_fwd():
     return _cost(fwd, params, quantized)
 
 
+def transformer_train():
+    from msla_tpu.models.transformer import TransformerTask
+
+    task = TransformerTask(sample_rate=22000, frame_length=2, learning_rate=1e-4,
+                           checkpoint_dir="/tmp/bench_t")
+    w = bench.T // 4
+    rng = np.random.default_rng(0)
+    quantized = jnp.asarray(rng.standard_normal((bench.BATCH, bench.EMBEDDING_DIM, w)),
+                            jnp.float32)
+    instruments = jnp.asarray(rng.standard_normal((bench.BATCH, 4, bench.T)),
+                              jnp.float32)
+    params = task.init_variables(jax.random.PRNGKey(0),
+                                 (quantized, instruments))["params"]
+    tx = task.configure_optimizer()
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, q, ins):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: task.loss_fn(p, (q, ins), jax.random.PRNGKey(1)),
+            has_aux=True)(params)
+        updates, o2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), o2, loss
+
+    return _cost(step, params, opt_state, quantized, instruments)
+
+
 def main():
     rows = [
         ("train step bf16", train_step("bfloat16")),
@@ -141,6 +169,7 @@ def main():
         ("separation inference", separation()),
         ("encode+VQ forward", encode_vq()),
         ("transformer forward", transformer_fwd()),
+        ("transformer train step", transformer_train()),
     ]
     print("| composite | GFLOPs | GB moved | measured ms | achieved TF/s | "
           "MFU (197 TF/s) | no-fusion byte bound ms |")
