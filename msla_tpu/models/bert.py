@@ -167,7 +167,8 @@ class AudioBertTask(TaskModule):
             {"train": adamw, "freeze": optax.set_to_zero()}, param_labels=label_fn)
 
     # ---- forward ---------------------------------------------------------------
-    def _chunked_argmax(self, bert_params, x: jax.Array, *, with_conf: bool):
+    def _chunked_argmax(self, bert_params, x: jax.Array, *, with_conf: bool,
+                        pipeline=None):
         """(B, W) token ids → (B, W) argmax vocab ids [+ (B, W) confidence].
 
         Pads W to whole 512-token windows (the reference pads with [PAD] and
@@ -191,8 +192,16 @@ class AudioBertTask(TaskModule):
         emb, mlm_bias = self._decoder_weights(bert_params)
 
         def group_call(tok, am):
-            h = self.bert.apply({"params": bert_params}, tok, am,
-                                deterministic=True, return_mlm_hidden=True)
+            if pipeline is not None:  # encoder stack staged over `model`
+                from msla_tpu.parallel.pipeline import pipelined_bert_apply
+
+                pp_mesh, n_micro = pipeline
+                h = pipelined_bert_apply(self.bert, bert_params, tok, pp_mesh,
+                                         n_micro=n_micro, attention_mask=am,
+                                         return_mlm_hidden=True)
+            else:
+                h = self.bert.apply({"params": bert_params}, tok, am,
+                                    deterministic=True, return_mlm_hidden=True)
             # fused tied-decoder matmul + argmax (+ online-softmax confidence)
             return mlm_argmax(h.astype(emb.dtype), emb, mlm_bias,
                               with_conf=with_conf, use_pallas=self.use_pallas)
@@ -211,7 +220,7 @@ class AudioBertTask(TaskModule):
         return jax.tree.map(unfold, outs)
 
     def forward(self, params, indices: jax.Array, rng: jax.Array | None = None,
-                train: bool = False) -> jax.Array:
+                train: bool = False, pipeline=None) -> jax.Array:
         """(B, W) code indices → (B, 4, T) stems (reference: bert.py:43-82)."""
         b = indices.shape[0]
         x = indices.reshape(b, -1).astype(jnp.int32)
@@ -226,7 +235,8 @@ class AudioBertTask(TaskModule):
         # to the reference, where BERT's grads are None; stop_gradient makes
         # XLA skip the BERT backward pass entirely.
         bert_params = jax.lax.stop_gradient(params["bert"])
-        ids = self._chunked_argmax(bert_params, x, with_conf=False)
+        ids = self._chunked_argmax(bert_params, x, with_conf=False,
+                                   pipeline=pipeline)
 
         # rescale vocab ids into codebook range (reference: bert.py:67-73);
         # the reference flattens across the whole batch before taking max
@@ -271,6 +281,24 @@ class AudioBertTask(TaskModule):
     def loss_fn(self, params, batch, rng):
         indices, instruments = batch
         output = self.forward(params, indices, rng, train=True)
+        loss = jnp.asarray(0.0)
+        for i in range(4):
+            loss = loss + l1_loss(output[:, i, :], instruments[:, i, :])
+        return loss, {"train/loss": loss}
+
+    supports_pipeline = True
+
+    def pipeline_loss_fn(self, params, batch, rng, mesh, n_micro: int):
+        """loss_fn with the (frozen) BERT encoder stack pipelined over the
+        mesh `model` axis — the Trainer `pipeline_parallel` knob for the BERT
+        stage. The BERT forward is deterministic in loss_fn too, so pp and dp
+        losses are identical (asserted in tests/test_pipeline.py); the argmax
+        still blocks gradients, so no backward pipeline runs. Requires the
+        folded group batch (chunk_fold·B) divisible by n_micro and the
+        microbatch by the `data` axis."""
+        indices, instruments = batch
+        output = self.forward(params, indices, rng, train=True,
+                              pipeline=(mesh, n_micro))
         loss = jnp.asarray(0.0)
         for i in range(4):
             loss = loss + l1_loss(output[:, i, :], instruments[:, i, :])

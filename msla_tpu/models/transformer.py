@@ -74,16 +74,17 @@ class TransformerTask(TaskModule):
         """Training loss with the decoder-layer stack pipelined over the mesh
         `model` axis (Trainer `pipeline_parallel` knob; parallel/pipeline.py).
 
-        Same per-stem MSE as loss_fn; the pipelined forward is deterministic
-        (dropout off) — microbatches stream through stages via lax.ppermute
-        and per-stage dropout rng plumbing is not worth diverging from the
-        sequential numerics for. Use dropout=0.0 configs to make pp runs
-        bit-comparable with the standard path (tests/test_parallel.py)."""
+        Same per-stem MSE as loss_fn, dropout LIVE (per-layer/per-microbatch
+        keys folded from `rng` — a different, equally valid stream than the
+        sequential path's, so pp and dp runs are bit-comparable only at
+        dropout=0.0, the setting tests/test_parallel.py pins)."""
         from msla_tpu.parallel.pipeline import pipelined_transformer_apply
 
         quantized, instruments = batch
+        dropout_rng = rng if self.hparams["dropout"] > 0 else None
         output = pipelined_transformer_apply(self.net, params, quantized, mesh,
-                                             n_micro=n_micro)
+                                             n_micro=n_micro,
+                                             dropout_rng=dropout_rng)
         loss = jnp.asarray(0.0)
         for i in range(4):
             loss = loss + mse_loss(output[:, i, :], instruments[:, i, :])

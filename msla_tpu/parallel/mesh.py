@@ -54,7 +54,8 @@ def make_mesh(devices: list | None = None, model_parallel: int = 1) -> Mesh:
     n = len(devs)
     mp = max(1, int(model_parallel))
     if n % mp != 0:
-        raise ValueError(f"{n} devices not divisible by model_parallel={mp}")
+        raise ValueError(f"{n} devices not divisible by the model-axis size "
+                         f"{mp} (set via model_parallel or pipeline_parallel)")
     arr = np.asarray(devs).reshape(n // mp, mp)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -48,13 +48,14 @@ def unstack_layer_params(stacked, layer_names):
 
 
 def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
-                  aux=None, data_axis: str = DATA_AXIS,
+                  aux=None, rng=None, data_axis: str = DATA_AXIS,
                   pipe_axis: str = MODEL_AXIS):
     """Run ``x`` through the stacked layers, pipelined over ``pipe_axis``.
 
     Args:
-      layer_apply: ``(one_layer_params, h) -> h`` applying a single layer —
-        or ``(one_layer_params, h, aux_mb) -> h`` when ``aux`` is given.
+      layer_apply: ``(one_layer_params, h, *extras) -> h`` applying a single
+        layer; ``extras`` receives the microbatch's aux slice when ``aux`` is
+        given, then a per-(layer, microbatch) PRNG key when ``rng`` is given.
       stacked: pytree from :func:`stack_layer_params`, leading axis =
         total layer count L (must divide by the pipe axis size).
       x: activations ``(B, ...)``; B must divide by ``n_micro`` and the
@@ -63,9 +64,14 @@ def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
       n_micro: number of microbatches streamed through the pipeline.
       aux: optional per-example constant ``(B, ...)`` (e.g. an attention
         mask) that travels alongside each microbatch through the stages.
+      rng: optional PRNG key; folded with the global layer index and the
+        microbatch id into a distinct key per layer application (stochastic
+        layers — dropout — under pipelining; a different stream than the
+        sequential forward, equally valid masks).
 
     Returns ``(B, ...)`` activations after all L layers, bit-comparable to
-    the sequential application (same layer order, same per-layer math).
+    the sequential application (same layer order, same per-layer math;
+    with ``rng``, same math under per-application dropout draws).
     """
     pp = mesh.shape[pipe_axis]
     n_layers = jtu.tree_leaves(stacked)[0].shape[0]
@@ -86,10 +92,18 @@ def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
     def body(stacked_local, xloc, auxloc):
         stage = jax.lax.axis_index(pipe_axis)
 
-        def stage_apply(h, a):
+        def stage_apply(h, a, tick):
+            # the microbatch this stage processes at `tick` (bubble ticks
+            # compute on discarded zeros; clamp keeps fold_in well-defined)
+            micro = jnp.clip(tick - stage, 0, n_micro - 1)
             for j in range(per_stage):
                 p = jtu.tree_map(lambda t, j=j: t[j], stacked_local)
-                h = layer_apply(p, h, a) if aux is not None else layer_apply(p, h)
+                extras = () if aux is None else (a,)
+                if rng is not None:
+                    g = stage * per_stage + j  # global layer index
+                    extras += (jax.random.fold_in(jax.random.fold_in(rng, g),
+                                                  micro),)
+                h = layer_apply(p, h, *extras)
             return h
 
         state = jnp.zeros_like(xloc[0])
@@ -100,7 +114,7 @@ def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
             if tick < n_micro:  # stage 0 injects the next microbatch
                 state = jnp.where(stage == 0, xloc[tick], state)
                 astate = jnp.where(stage == 0, auxloc[tick], astate)
-            state = stage_apply(state, astate)
+            state = stage_apply(state, astate, tick)
             if tick >= pp - 1:  # last stage drains a finished microbatch
                 k = tick - (pp - 1)
                 out = out.at[k].set(jnp.where(stage == pp - 1, state, out[k]))
@@ -123,15 +137,19 @@ def spmd_pipeline(layer_apply, stacked, x, mesh: Mesh, *, n_micro: int,
 
 
 def pipelined_transformer_apply(net, params, quantized, mesh: Mesh, *,
-                                n_micro: int, data_axis: str = DATA_AXIS,
+                                n_micro: int, dropout_rng=None,
+                                data_axis: str = DATA_AXIS,
                                 pipe_axis: str = MODEL_AXIS):
-    """Deterministic TransformerQuantizerNet forward with the decoder-layer
-    stack pipelined over the mesh `model` axis.
+    """TransformerQuantizerNet forward with the decoder-layer stack pipelined
+    over the mesh `model` axis.
 
     Mirrors ``TransformerQuantizerNet.__call__`` (nn/transformer_net.py)
     exactly — embed → positional encoding → L pipelined decoder layers →
     stem reshape → output projection — and is asserted equal to the
-    unpipelined ``net.apply`` in tests/test_pipeline.py.
+    unpipelined ``net.apply`` in tests/test_pipeline.py (the equality test is
+    the drift guard for this hand-mirrored forward). With ``dropout_rng`` the
+    decoder layers train with live dropout (per-layer/per-microbatch keys —
+    a different, equally valid stream than the sequential path's).
     """
     from flax import linen as nn
 
@@ -148,10 +166,11 @@ def pipelined_transformer_apply(net, params, quantized, mesh: Mesh, *,
 
     layer = DecoderLayer(net.hidden_dim, net.num_heads, dropout=net.dropout,
                          zero_memory=net.zero_memory, dtype=net.compute_dtype)
-    layer_apply = partial(_apply_decoder_layer, layer, mask)
+    layer_apply = partial(_apply_decoder_layer, layer, mask,
+                          dropout_rng is not None)
     stacked = stack_layer_params(params, [f"layer{i}" for i in range(net.num_layers)])
     x = spmd_pipeline(layer_apply, stacked, x, mesh, n_micro=n_micro,
-                      data_axis=data_axis, pipe_axis=pipe_axis)
+                      rng=dropout_rng, data_axis=data_axis, pipe_axis=pipe_axis)
 
     x = x.reshape(b, 4, (s * net.hidden_dim) // 4)
     out = nn.Dense(net.output_dim, dtype=net.compute_dtype, name="fc").apply(
@@ -159,7 +178,10 @@ def pipelined_transformer_apply(net, params, quantized, mesh: Mesh, *,
     return out.astype(jnp.float32)
 
 
-def _apply_decoder_layer(layer, mask, layer_params, h):
+def _apply_decoder_layer(layer, mask, stochastic, layer_params, h, key=None):
+    if stochastic:
+        return layer.apply({"params": layer_params}, h, None, mask,
+                           deterministic=False, rngs={"dropout": key})
     return layer.apply({"params": layer_params}, h, None, mask,
                        deterministic=True)
 
@@ -178,8 +200,12 @@ def pipelined_bert_apply(bert, params, input_ids, mesh: Mesh, *,
     asserted equal to the unpipelined ``bert.apply`` in
     tests/test_pipeline.py. This is the stage where pipeline parallelism
     pays: the Audio-BERT state is the framework's largest (PERFORMANCE.md
-    checkpoint section), so staging its encoder over devices divides
-    per-device parameter + activation residency by the stage count.
+    checkpoint section). Per-device ACTIVATION residency divides by the stage
+    count; dividing PARAMETER residency too requires holding the layer stack
+    in the stacked ``P(model)`` layout persistently (pass ``params`` whose
+    layer subtrees were restacked/sharded by the caller) — when the stack is
+    built in-step from replicated params, XLA slices locally but the
+    replicated copy still resides on every device.
     """
     from flax import linen as nn
 

@@ -124,6 +124,9 @@ class Trainer:
         # parameters over it, pp stages the layer stack over it
         self.pipeline_parallel = max(1, int(pipeline_parallel))
         self.pipeline_microbatches = int(pipeline_microbatches)
+        if self.pipeline_microbatches < 1:
+            raise ValueError(f"pipeline_microbatches={pipeline_microbatches} "
+                             "must be >= 1")
         if model_parallel > 1 and self.pipeline_parallel > 1:
             raise ValueError("model_parallel and pipeline_parallel both use the "
                              "`model` mesh axis — pick one")

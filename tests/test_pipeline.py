@@ -111,6 +111,31 @@ def test_pipeline_gradients_match_sequential():
         np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-5), g_pp, g_seq)
 
 
+def test_pipelined_dropout_is_live_and_reproducible():
+    """With dropout_rng the pipelined layers actually drop (output differs
+    from deterministic), draws are reproducible under the same key, and
+    distinct keys give distinct masks."""
+    from msla_tpu.nn.transformer_net import TransformerQuantizerNet
+
+    net = TransformerQuantizerNet(input_dim=32, output_dim=128, hidden_dim=16,
+                                  num_layers=4, num_heads=2, dropout=0.5)
+    rng = np.random.default_rng(6)
+    quantized = jnp.asarray(rng.standard_normal((16, 8, 32)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), quantized, deterministic=True)["params"]
+    mesh = _mesh(2, 4)
+
+    det = pipelined_transformer_apply(net, params, quantized, mesh, n_micro=4)
+    d1 = pipelined_transformer_apply(net, params, quantized, mesh, n_micro=4,
+                                     dropout_rng=jax.random.PRNGKey(1))
+    d1b = pipelined_transformer_apply(net, params, quantized, mesh, n_micro=4,
+                                      dropout_rng=jax.random.PRNGKey(1))
+    d2 = pipelined_transformer_apply(net, params, quantized, mesh, n_micro=4,
+                                     dropout_rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(det), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+
 def test_pipelined_bert_matches_net():
     """BERT encoder pipelining with per-example attention masks riding the
     pipeline as aux state — must match the plain forward exactly."""
@@ -143,6 +168,36 @@ def test_pipelined_bert_matches_net():
                                    attention_mask=mask, return_mlm_hidden=True)
     np.testing.assert_allclose(np.asarray(piped_h), np.asarray(ref_h),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_audiobert_pipeline_loss_matches_standard():
+    """AudioBertTask.pipeline_loss_fn (Trainer pipeline_parallel path for the
+    BERT stage) == loss_fn exactly: the frozen BERT forward is deterministic,
+    so staging it over the mesh must not move the loss."""
+    from msla_tpu.models.bert import AudioBertTask
+    from msla_tpu.nn.bert import BertConfig, BertForMaskedLM
+
+    task = AudioBertTask(learning_rate=2e-4, checkpoint_dir="/tmp/ppb",
+                         codebook="/tmp/ppb_missing.csv", sample_rate=1024,
+                         frame_length=2, num_embedding=16)
+    task.config = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=4,
+                             num_attention_heads=2, intermediate_size=32,
+                             max_position_embeddings=512)
+    task.bert = BertForMaskedLM(task.config)
+
+    b, t = 16, 2048  # W = 512 → one chunk per example
+    rng = np.random.default_rng(9)
+    indices = jnp.asarray(rng.integers(0, 16, (b, t // 4)), jnp.int32)
+    instruments = jnp.asarray(rng.standard_normal((b, 4, t)), jnp.float32)
+    params = task.init_variables(jax.random.PRNGKey(0),
+                                 (indices, instruments))["params"]
+
+    key = jax.random.PRNGKey(3)
+    loss, _ = task.loss_fn(params, (indices, instruments), key)
+    mesh = _mesh(2, 4)
+    loss_pp, _ = jax.jit(lambda p: task.pipeline_loss_fn(
+        p, (indices, instruments), key, mesh, 2))(params)
+    np.testing.assert_allclose(float(loss_pp), float(loss), rtol=1e-5)
 
 
 def test_pipeline_rejects_indivisible():
