@@ -200,6 +200,77 @@ def test_audiobert_pipeline_loss_matches_standard():
     np.testing.assert_allclose(float(loss_pp), float(loss), rtol=1e-5)
 
 
+def test_weight_sharded_pipeline_training():
+    """The memory-saving layout from docs/PARALLELISM.md: the layer stack is
+    held PERSISTENTLY in the stacked P('model') representation (each device
+    stores only its stage's weights + Adam state) and trained directly —
+    grads and optimizer state inherit the stage sharding, and the trajectory
+    matches replicated sequential training."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(10)
+    n_layers, d, b, steps = 4, 8, 16, 3
+    params = _toy_layers(n_layers, d, rng)
+    names = list(params)
+    mesh = _mesh(2, 4)
+    stacked = stack_layer_params(params, names)
+    stage_sh = jax.tree.map(
+        lambda a: NamedSharding(mesh, P("model", *(None,) * (a.ndim - 1))), stacked)
+    stacked = jax.device_put(stacked, stage_sh)
+    tx = optax.adam(1e-2)
+    opt = tx.init(stacked)  # zeros_like inherits the stage sharding
+
+    x = jnp.asarray(rng.standard_normal((b, 3, d)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, 3, d)), jnp.float32)
+
+    @jax.jit
+    def step(stacked, opt):
+        def loss_fn(s):
+            out = spmd_pipeline(_toy_apply, s, x, mesh, n_micro=4)
+            return jnp.mean((out - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(stacked)
+        updates, opt = tx.update(grads, opt, stacked)
+        return optax.apply_updates(stacked, updates), opt, loss
+
+    losses = []
+    for _ in range(steps):
+        stacked, opt, loss = step(stacked, opt)
+        losses.append(float(loss))
+    # every weight + Adam leaf stays stage-sharded across updates
+    for leaf in jtu.tree_leaves(stacked):
+        assert leaf.sharding.spec[0] == "model"
+    for leaf in jtu.tree_leaves(opt):
+        if hasattr(leaf, "sharding") and getattr(leaf, "ndim", 0) > 0 \
+                and leaf.shape[:1] == (n_layers,):
+            assert leaf.sharding.spec[0] == "model", leaf.sharding
+
+    # trajectory equality vs replicated sequential training
+    seq_stacked = stack_layer_params(params, names)
+    seq_opt = tx.init(seq_stacked)
+
+    @jax.jit
+    def seq_step(s, o):
+        def loss_fn(st):
+            h = x
+            for i in range(n_layers):
+                h = _toy_apply(jtu.tree_map(lambda a, i=i: a[i], st), h)
+            return jnp.mean((h - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(s)
+        updates, o = tx.update(grads, o, s)
+        return optax.apply_updates(s, updates), o, loss
+
+    seq_losses = []
+    for _ in range(steps):
+        seq_stacked, seq_opt, l = seq_step(seq_stacked, seq_opt)
+        seq_losses.append(float(l))
+    np.testing.assert_allclose(losses, seq_losses, rtol=1e-5, atol=1e-7)
+    jtu.tree_map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6), stacked, seq_stacked)
+
+
 def test_pipeline_rejects_indivisible():
     rng = np.random.default_rng(4)
     params = _toy_layers(3, 4, rng)  # 3 layers, 2 stages → error
