@@ -38,19 +38,26 @@ class TransformerTask(TaskModule):
                  hidden_dim: int = 512,
                  positional_mode: str = "reference",
                  dropout: float = 0.1,
-                 compute_dtype: str | None = None):
+                 compute_dtype: str | None = None,
+                 moe_experts: int = 0,
+                 moe_selected: int = 2,
+                 moe_aux_weight: float = 0.01):
         output_dim = sample_rate * frame_length
         input_dim = output_dim // 4
         self.hparams = dict(sample_rate=sample_rate, frame_length=frame_length,
                             learning_rate=learning_rate, checkpoint_dir=str(checkpoint_dir),
                             num_layers=num_layers, num_heads=num_heads,
                             hidden_dim=hidden_dim, positional_mode=positional_mode,
-                            dropout=dropout, compute_dtype=compute_dtype)
+                            dropout=dropout, compute_dtype=compute_dtype,
+                            moe_experts=moe_experts, moe_selected=moe_selected,
+                            moe_aux_weight=moe_aux_weight)
         self.net = TransformerQuantizerNet(input_dim=input_dim, output_dim=output_dim,
                                            hidden_dim=hidden_dim, num_layers=num_layers,
                                            num_heads=num_heads, dropout=dropout,
                                            positional_mode=positional_mode,
-                                           compute_dtype=compute_dtype)
+                                           compute_dtype=compute_dtype,
+                                           moe_experts=moe_experts,
+                                           moe_selected=moe_selected)
 
     def init_variables(self, rng, batch):
         quantized, _ = batch
@@ -61,12 +68,24 @@ class TransformerTask(TaskModule):
 
     def loss_fn(self, params, batch, rng):
         quantized, instruments = batch
-        output = self.net.apply({"params": params}, quantized, deterministic=False,
-                                rngs={"dropout": rng})
+        if self.hparams["moe_experts"] > 0:
+            output, aux_vars = self.net.apply(
+                {"params": params}, quantized, deterministic=False,
+                rngs={"dropout": rng}, mutable=["losses"])
+        else:
+            output = self.net.apply({"params": params}, quantized, deterministic=False,
+                                    rngs={"dropout": rng})
         loss = jnp.asarray(0.0)
         for i in range(4):
             loss = loss + mse_loss(output[:, i, :], instruments[:, i, :])
-        return loss, {"train/loss": loss}
+        metrics = {"train/loss": loss}
+        if self.hparams["moe_experts"] > 0:
+            # Switch load-balance aux (nn/moe.py), summed over layers
+            aux = sum(jax.tree_util.tree_leaves(aux_vars.get("losses", {})),
+                      jnp.asarray(0.0))
+            metrics["train/moe_aux"] = aux
+            loss = loss + self.hparams["moe_aux_weight"] * aux
+        return loss, metrics
 
     supports_pipeline = True
 
@@ -80,6 +99,10 @@ class TransformerTask(TaskModule):
         dropout=0.0, the setting tests/test_parallel.py pins)."""
         from msla_tpu.parallel.pipeline import pipelined_transformer_apply
 
+        if self.hparams["moe_experts"] > 0:
+            raise ValueError("pipeline_parallel and moe_experts both occupy the "
+                             "mesh `model` axis — shard the experts instead "
+                             "(model_parallel with MoE, see docs/PARALLELISM.md)")
         quantized, instruments = batch
         dropout_rng = rng if self.hparams["dropout"] > 0 else None
         output = pipelined_transformer_apply(self.net, params, quantized, mesh,

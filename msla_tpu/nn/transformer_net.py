@@ -32,6 +32,8 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     zero_memory: bool = True
     dtype: str | None = None
+    moe_experts: int = 0      # >0 swaps the dense FFN for a routed MoE (nn/moe.py)
+    moe_selected: int = 2
 
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array | None, mask: jax.Array,
@@ -54,13 +56,20 @@ class DecoderLayer(nn.Module):
                                                        deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + dropout(ca))
 
-        h = nn.Dense(self.dim_feedforward, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.d_model), dtype=self.dtype,
-                     name="linear1")(x)
-        h = dropout(jax.nn.relu(h))
-        h = nn.Dense(self.d_model, kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.dim_feedforward), dtype=self.dtype,
-                     name="linear2")(h).astype(jnp.float32)
+        if self.moe_experts > 0:
+            from msla_tpu.nn.moe import MoEFFN
+
+            h = MoEFFN(self.d_model, self.dim_feedforward, self.moe_experts,
+                       num_selected=self.moe_selected, dropout=self.dropout,
+                       dtype=self.dtype, name="moe")(x, deterministic=deterministic)
+        else:
+            h = nn.Dense(self.dim_feedforward, kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(self.d_model), dtype=self.dtype,
+                         name="linear1")(x)
+            h = dropout(jax.nn.relu(h))
+            h = nn.Dense(self.d_model, kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(self.dim_feedforward), dtype=self.dtype,
+                         name="linear2")(h).astype(jnp.float32)
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + dropout(h))
 
 
@@ -76,6 +85,8 @@ class TransformerQuantizerNet(nn.Module):
     positional_mode: str = "reference"
     zero_memory: bool = True
     compute_dtype: str | None = None
+    moe_experts: int = 0
+    moe_selected: int = 2
 
     @nn.compact
     def __call__(self, quantized: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -90,6 +101,8 @@ class TransformerQuantizerNet(nn.Module):
         for i in range(self.num_layers):
             x = DecoderLayer(self.hidden_dim, self.num_heads, dropout=self.dropout,
                              zero_memory=self.zero_memory, dtype=self.compute_dtype,
+                             moe_experts=self.moe_experts,
+                             moe_selected=self.moe_selected,
                              name=f"layer{i}")(
                 x, None, mask, deterministic=deterministic)
         # (B, S, hidden) → (B, 4, S*hidden/4) → Linear to waveform

@@ -77,10 +77,16 @@ def tp_param_spec(path, leaf, mp: int) -> P:
     - VQ codebook rows split over `model` (distance matmul column-parallel);
     - wide Conv1D kernels (OIW layout in flax: (W, I, O)) split on output
       channels;
-    - transformer FFN: linear1 column-parallel, linear2 row-parallel.
+    - transformer FFN: linear1 column-parallel, linear2 row-parallel;
+    - MoE expert stacks (nn/moe.py: w1/b1/w2/b2 with leading E dim) split on
+      the expert dim — expert parallelism; the dispatch/combine einsums then
+      lower to all_to_all. The router replicates.
     Everything else replicates. Rules only fire when the dim divides `mp`.
     """
     keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    if "moe" in keys and keys[-1] in ("w1", "b1", "w2", "b2") \
+            and leaf.shape[0] % mp == 0:
+        return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
     if "codebook" in keys and leaf.ndim == 2 and leaf.shape[0] % mp == 0:
         return P(MODEL_AXIS, None)
     if "kernel" in keys and leaf.ndim == 2:
@@ -106,23 +112,44 @@ def make_param_shardings(mesh: Mesh, params):
         params)
 
 
-def make_opt_shardings(mesh: Mesh, tx, params, param_shardings):
+def make_opt_shardings(mesh: Mesh, tx, params, param_shardings, zero1: bool = False):
     """Sharding tree for `tx.init(params)`: param-shaped leaves (Adam mu/nu)
     mirror the param shardings, everything else (counts) replicates.
 
     Matching is by key-path suffix — optax states embed the param tree
     verbatim (e.g. `opt_state[0].mu['encoder']['conv1']['kernel']` ends with
     the param path), so the longest-suffix match recovers each leaf's param.
+
+    zero1=True additionally shards every param-shaped leaf over the `data`
+    axis (ZeRO-1 / optimizer-state sharding): each dp rank holds 1/dp of the
+    Adam mu/nu, and XLA lowers the update to reduce-scatter(grads) → sharded
+    moment update → all-gather(updates). The largest dim not already claimed
+    by a tensor-parallel rule and divisible by the dp degree is split;
+    indivisible leaves (odd biases) stay replicated — correctness is a pure
+    layout property either way (tests/test_parallel.py zero1 equality).
     """
     by_path = {tuple(str(k) for k in path): sh
                for path, sh in jtu.tree_flatten_with_path(param_shardings)[0]}
     repl = replicated(mesh)
+    dp = mesh.shape[DATA_AXIS]
+
+    def zero1_spec(spec: P, shape) -> P:
+        axes = tuple(spec) + (None,) * (len(shape) - len(spec))
+        best = None
+        for i, (ax, n) in enumerate(zip(axes, shape)):
+            if ax is None and n % dp == 0 and (best is None or n > shape[best]):
+                best = i
+        if best is None:
+            return P(*axes)
+        return P(*(DATA_AXIS if i == best else ax for i, ax in enumerate(axes)))
 
     def pick(path, leaf):
         keys = tuple(str(k) for k in path)
         for start in range(len(keys)):
             sh = by_path.get(keys[start:])
             if sh is not None:
+                if zero1 and dp > 1:
+                    return NamedSharding(mesh, zero1_spec(sh.spec, leaf.shape))
                 return sh
         return repl
 

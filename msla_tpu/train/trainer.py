@@ -95,6 +95,7 @@ class Trainer:
                  model_parallel: int = 1,
                  pipeline_parallel: int = 1,
                  pipeline_microbatches: int = 2,
+                 zero1: bool = False,
                  precision: str = "medium",
                  seed: int = 0):
         self.default_root_dir = Path(default_root_dir)
@@ -121,7 +122,9 @@ class Trainer:
             str(precision), "default")
 
         # tp and pp both occupy the mesh `model` axis (2-D mesh): tp shards
-        # parameters over it, pp stages the layer stack over it
+        # parameters over it, pp stages the layer stack over it; zero1 shards
+        # the optimizer state over the `data` axis (composes with any of them)
+        self.zero1 = bool(zero1)
         self.pipeline_parallel = max(1, int(pipeline_parallel))
         self.pipeline_microbatches = int(pipeline_microbatches)
         if self.pipeline_microbatches < 1:
@@ -250,7 +253,8 @@ class Trainer:
         else:
             self._param_shardings = make_param_shardings(self.mesh, params)
         self._opt_shardings = make_opt_shardings(self.mesh, self._tx, params,
-                                                 self._param_shardings)
+                                                 self._param_shardings,
+                                                 zero1=self.zero1)
         params = jax.device_put(params, self._param_shardings)
         opt_state = jax.jit(self._tx.init,
                             out_shardings=self._opt_shardings)(params)
@@ -284,10 +288,26 @@ class Trainer:
 
                 (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                if self.zero1:
+                    # pin the updated moments to their dp-sharded layout: the
+                    # constraint makes XLA reduce-scatter the grads, update
+                    # 1/dp of mu/nu per rank, and all-gather only the updates
+                    opt_state = jax.lax.with_sharding_constraint(
+                        opt_state, self._opt_shardings)
                 params = optax.apply_updates(state.params, updates)
             return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
-        return jax.jit(step_fn, donate_argnums=0)
+        # pin the output state to the annotated layouts: without this XLA's
+        # sharding propagation is free to re-shard unconstrained outputs (it
+        # moved the MoE router to P(None,"model") on the ep test) and the
+        # layout would drift step over step
+        from msla_tpu.parallel.mesh import replicated
+
+        repl = replicated(self.mesh)
+        state_shardings = TrainState(params=self._param_shardings,
+                                     opt_state=self._opt_shardings, step=repl)
+        return jax.jit(step_fn, donate_argnums=0,
+                       out_shardings=(state_shardings, repl))
 
     def _make_eval_step(self, model, datamodule, mode: str):
         @partial(jax.jit, static_argnums=())

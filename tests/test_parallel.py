@@ -173,6 +173,48 @@ def test_trainer_model_parallel_matches_replicated(tmp_path):
                                t_tp.callback_metrics["validation/loss"], rtol=1e-4)
 
 
+def test_trainer_zero1_matches_replicated(tmp_path):
+    """Trainer(zero1=True) shards the Adam moments over the `data` axis
+    (ZeRO-1) and must train identically to the replicated-state run —
+    optimizer-state placement is a pure layout choice; XLA handles the
+    reduce-scatter / all-gather the constraint implies."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(zero1):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=8)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0, zero1=zero1)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_repl = fit(False)
+    t_z1 = fit(True)
+
+    # the moments actually sharded over `data` (codebook: 16x8, dim0 % 8 == 0)
+    mu_cb = t_z1.state.opt_state[0].mu["vector_quantizer"]["codebook"]
+    assert mu_cb.sharding.spec == P("data", None)
+    # params stay replicated — zero1 touches only the optimizer state
+    cb = t_z1.state.params["vector_quantizer"]["codebook"]
+    assert cb.sharding.spec == P()
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_repl.state.params),
+                    jax.tree_util.tree_leaves(t_z1.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(t_repl.state.opt_state),
+                    jax.tree_util.tree_leaves(t_z1.state.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(t_repl.callback_metrics["validation/loss"],
+                               t_z1.callback_metrics["validation/loss"],
+                               rtol=1e-4)
+
+
 class _TransformerDataModule:
     """Minimal (quantized, instruments) datamodule over in-memory stems."""
 
