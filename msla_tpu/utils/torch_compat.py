@@ -94,8 +94,18 @@ def decoder_layer_params_from_torch(sd: Mapping[str, Any], prefix: str,
         "norm3": _layernorm(sd, f"{prefix}.norm3"),
     }
     if zero_memory:
-        # zero-memory cross-attention reduces to the out-proj bias
-        params["cross_attn_out_bias"] = _np(sd[f"{prefix}.multihead_attn.out_proj.bias"])
+        # zero-memory cross-attention reduces to a constant: with memory = 0
+        # every value row equals the v in-proj bias bv, the softmax average of
+        # identical rows is bv, and the out projection maps it to
+        # Wout @ bv + bout. bv is zero at torch init (MultiheadAttention
+        # constant-zeros in_proj_bias) but NONZERO in trained reference
+        # checkpoints — gradients flow into bv through the zero-memory path
+        # (reference: src/model/transformer.py:72-74 trains exactly this way).
+        wout = _np(sd[f"{prefix}.multihead_attn.out_proj.weight"])  # (E, E)
+        bout = _np(sd[f"{prefix}.multihead_attn.out_proj.bias"])
+        in_bias = _np(sd[f"{prefix}.multihead_attn.in_proj_bias"])
+        bv = in_bias[2 * (in_bias.shape[0] // 3):]
+        params["cross_attn_out_bias"] = wout @ bv + bout
     else:
         params["cross_attn"] = mha_params_from_torch(sd, f"{prefix}.multihead_attn")
     return params
@@ -166,6 +176,117 @@ def bert_params_from_hf(sd: Mapping[str, Any], num_layers: int = 12) -> dict:
             "output_norm": _layernorm(sd, f"{p}.output.LayerNorm"),
         }
     return params
+
+
+# ---- export: flax params → reference torch state_dicts ------------------------
+#
+# Exact inverses of the importers above, so users can migrate BACK: train in
+# msla_tpu, export, and `load_state_dict` into the reference's torch modules
+# (reference: src/main.py:65-66 consumes exactly these key layouts).
+
+def _p(tree: Mapping[str, Any], *path: str) -> np.ndarray:
+    leaf: Any = tree
+    for k in path:
+        leaf = leaf[k]
+    return np.asarray(leaf, dtype=np.float32)
+
+
+def _linear_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = _p(p, "kernel").T          # (in,out) -> (out,in)
+    sd[f"{key}.bias"] = _p(p, "bias")
+
+
+def _conv_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = _p(p, "conv", "kernel").transpose(2, 1, 0)
+    if "bias" in p["conv"]:
+        sd[f"{key}.bias"] = _p(p, "conv", "bias")
+
+
+def _conv_t_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = _p(p, "conv", "kernel").transpose(2, 1, 0)
+    if "bias" in p["conv"]:
+        sd[f"{key}.bias"] = _p(p, "conv", "bias")
+
+
+def _layernorm_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
+    sd[f"{key}.weight"] = _p(p, "scale")
+    sd[f"{key}.bias"] = _p(p, "bias")
+
+
+def _residual_stack_to(sd: dict, prefix: str, p: Mapping[str, Any],
+                       num_layers: int) -> None:
+    for i in range(num_layers):
+        sd[f"{prefix}.residual_layers.{i}.1.weight"] = \
+            _p(p, f"block{i}_conv3", "conv", "kernel").transpose(2, 1, 0)
+        sd[f"{prefix}.residual_layers.{i}.3.weight"] = \
+            _p(p, f"block{i}_conv1", "conv", "kernel").transpose(2, 1, 0)
+
+
+def mha_params_to_torch(sd: dict, prefix: str, p: Mapping[str, Any]) -> None:
+    """Our MultiHeadAttention → torch nn.MultiheadAttention (packed in_proj)."""
+    qw, kw, vw = (_p(p, n, "kernel").T for n in ("q_proj", "k_proj", "v_proj"))
+    qb, kb, vb = (_p(p, n, "bias") for n in ("q_proj", "k_proj", "v_proj"))
+    sd[f"{prefix}.in_proj_weight"] = np.concatenate([qw, kw, vw], axis=0)
+    sd[f"{prefix}.in_proj_bias"] = np.concatenate([qb, kb, vb], axis=0)
+    sd[f"{prefix}.out_proj.weight"] = _p(p, "out_proj", "kernel").T
+    sd[f"{prefix}.out_proj.bias"] = _p(p, "out_proj", "bias")
+
+
+def decoder_layer_params_to_torch(sd: dict, prefix: str, p: Mapping[str, Any],
+                                  zero_memory: bool = True) -> None:
+    """Our DecoderLayer → torch nn.TransformerDecoderLayer state entries."""
+    mha_params_to_torch(sd, f"{prefix}.self_attn", p["self_attn"])
+    _linear_to(sd, f"{prefix}.linear1", p["linear1"])
+    _linear_to(sd, f"{prefix}.linear2", p["linear2"])
+    for n in ("norm1", "norm2", "norm3"):
+        _layernorm_to(sd, f"{prefix}.{n}", p[n])
+    if zero_memory:
+        # our zero-memory layer carries only the effective constant; emit a
+        # cross-attention whose in/out projections are zero and whose out-proj
+        # bias is that constant — torch then computes softmax(0)·(V=0) → 0,
+        # plus the bias: numerically identical for any memory the reference
+        # feeds (it always feeds zeros, src/model/transformer.py:72-74)
+        e = _p(p, "cross_attn_out_bias").shape[0]
+        sd[f"{prefix}.multihead_attn.in_proj_weight"] = np.zeros((3 * e, e), np.float32)
+        sd[f"{prefix}.multihead_attn.in_proj_bias"] = np.zeros(3 * e, np.float32)
+        sd[f"{prefix}.multihead_attn.out_proj.weight"] = np.zeros((e, e), np.float32)
+        sd[f"{prefix}.multihead_attn.out_proj.bias"] = _p(p, "cross_attn_out_bias")
+    else:
+        mha_params_to_torch(sd, f"{prefix}.multihead_attn", p["cross_attn"])
+
+
+def transformer_params_to_torch(params: Mapping[str, Any], num_layers: int,
+                                zero_memory: bool = True) -> dict:
+    """TransformerQuantizerNet params → reference TransformerQuantizerDecoder
+    state_dict (loadable with strict=False: the positional-encoding buffer is
+    not a parameter here; everything trainable round-trips)."""
+    sd: dict = {}
+    _linear_to(sd, "embedding", params["embedding"])
+    _linear_to(sd, "fc", params["fc"])
+    for i in range(num_layers):
+        decoder_layer_params_to_torch(sd, f"transformer_decoder.layers.{i}",
+                                      params[f"layer{i}"], zero_memory)
+    return sd
+
+
+def vqvae_params_to_torch(params: Mapping[str, Any], num_residual_layer: int) -> dict:
+    """VQVAENet params → reference VQVAE state_dict (src/model/components)."""
+    sd: dict = {}
+    enc = params["encoder"]
+    for k in ("conv1", "conv2", "conv3"):
+        _conv_to(sd, f"encoder.{k}", enc[k])
+    _residual_stack_to(sd, "encoder.residual_stack", enc["residual_stack"],
+                       num_residual_layer)
+    _conv_to(sd, "conv", params["pre_vq_conv"])
+    sd["vector_quantizer.codebook.weight"] = _p(params, "vector_quantizer",
+                                                "codebook")
+    dec = params["decoder"]
+    _conv_to(sd, "decoder.conv1", dec["conv1"])
+    _residual_stack_to(sd, "decoder.residual_stack", dec["residual_stack"],
+                       num_residual_layer)
+    _conv_t_to(sd, "decoder.conv1_transpose", dec["conv1_transpose"])
+    _conv_t_to(sd, "decoder.conv2_transpose", dec["conv2_transpose"])
+    return sd
 
 
 def vqvae_params_from_torch(sd: Mapping[str, Any], num_residual_layer: int) -> dict:
