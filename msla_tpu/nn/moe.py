@@ -31,6 +31,14 @@ from flax import linen as nn
 from msla_tpu.nn.layers import torch_bias_init, torch_kernel_init
 
 
+def _expert_kernel_init(key, shape, dtype=jnp.float32):
+    """Per-expert torch-Linear default U(±1/sqrt(fan_in)) for stacked (E, in,
+    out) kernels — variance_scaling would count the leading E dim into fan_in
+    and start every expert sqrt(E)× smaller than the dense FFN it replaces."""
+    limit = 1.0 / (shape[-2] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
 class MoEFFN(nn.Module):
     """Top-k routed mixture of ReLU FFN experts (dispatch-einsum form)."""
 
@@ -50,9 +58,9 @@ class MoEFFN(nn.Module):
         cdt = x.dtype if self.dtype is None else self.dtype
 
         router = self.param("router", torch_kernel_init, (m, e))
-        w1 = self.param("w1", torch_kernel_init, (e, m, f))
+        w1 = self.param("w1", _expert_kernel_init, (e, m, f))
         b1 = self.param("b1", torch_bias_init(m), (e, f))
-        w2 = self.param("w2", torch_kernel_init, (e, f, m))
+        w2 = self.param("w2", _expert_kernel_init, (e, f, m))
         b2 = self.param("b2", torch_bias_init(f), (e, m))
 
         # routing runs in fp32 — tiny FLOPs, and argmax ties/softmax accuracy

@@ -183,6 +183,24 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
     return jax.device_put(arr, sharding)
 
 
+def gather_cross_host(tree):
+    """Host-fetchable copy of a pytree whose leaves may be sharded ACROSS
+    processes (tp params, zero1 moments): such leaves are not fully
+    addressable, so `jax.device_get` on them raises. COLLECTIVE — every
+    process must call it (the Trainer does so before its rank-0 write gate;
+    exercised for real by tools/smoke_distributed.py)."""
+    if jax.process_count() <= 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def fetch(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        return leaf
+
+    return jtu.tree_map(fetch, tree)
+
+
 _recorded_rank: int | None = None
 _warned_env_fallback = False
 

@@ -158,11 +158,19 @@ class Trainer:
         (the device→host fetch stays synchronous); fit() joins all pending
         writes before returning."""
         assert self._state is not None and self._model is not None
+        # multi-host with cross-host shardings (tp params, zero1 moments):
+        # leaves are not fully addressable from one process — gather them
+        # COLLECTIVELY on every rank BEFORE the rank-0 write gate below
+        # (gathering after it would deadlock the allgather)
+        from msla_tpu.parallel.mesh import gather_cross_host
+
+        params = gather_cross_host(self._state.params)
+        opt_state = None if weights_only else gather_cross_host(self._state.opt_state)
         if not is_main_process():  # multi-host: rank 0 owns artifact writes
             return
         save_checkpoint(path,
-                        params=self._state.params,
-                        opt_state=None if weights_only else self._state.opt_state,
+                        params=params,
+                        opt_state=opt_state,
                         epoch=self.current_epoch,
                         global_step=self.global_step,
                         hparams=getattr(self._model, "hparams", {}),

@@ -202,10 +202,10 @@ def _conv_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
         sd[f"{key}.bias"] = _p(p, "conv", "bias")
 
 
-def _conv_t_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
-    sd[f"{key}.weight"] = _p(p, "conv", "kernel").transpose(2, 1, 0)
-    if "bias" in p["conv"]:
-        sd[f"{key}.bias"] = _p(p, "conv", "bias")
+# reversing the axes is the right map for BOTH conv layouts: flax Conv
+# (k,in,out)→torch (out,in,k) and flax ConvTranspose transpose_kernel
+# (k,out,in)→torch (in,out,k)
+_conv_t_to = _conv_to
 
 
 def _layernorm_to(sd: dict, key: str, p: Mapping[str, Any]) -> None:
@@ -256,16 +256,22 @@ def decoder_layer_params_to_torch(sd: dict, prefix: str, p: Mapping[str, Any],
 
 
 def transformer_params_to_torch(params: Mapping[str, Any], num_layers: int,
-                                zero_memory: bool = True) -> dict:
+                                zero_memory: bool = True,
+                                max_len: int = 10000) -> dict:
     """TransformerQuantizerNet params → reference TransformerQuantizerDecoder
-    state_dict (loadable with strict=False: the positional-encoding buffer is
-    not a parameter here; everything trainable round-trips)."""
+    state_dict, STRICT-loadable: includes the deterministic sinusoidal
+    `positional_encoding.pe` buffer the reference registers
+    (src/model/transformer.py:212-222, shape (1, max_len, d_model))."""
     sd: dict = {}
     _linear_to(sd, "embedding", params["embedding"])
     _linear_to(sd, "fc", params["fc"])
     for i in range(num_layers):
         decoder_layer_params_to_torch(sd, f"transformer_decoder.layers.{i}",
                                       params[f"layer{i}"], zero_memory)
+    from msla_tpu.nn.positional import sinusoidal_table
+
+    d_model = _p(params["embedding"], "kernel").shape[1]
+    sd["positional_encoding.pe"] = sinusoidal_table(max_len, d_model)[None]
     return sd
 
 

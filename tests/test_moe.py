@@ -29,6 +29,19 @@ def test_moe_single_expert_equals_dense_ffn():
                                atol=1e-6)
 
 
+def test_moe_expert_init_matches_dense_scale():
+    """Stacked expert kernels must start at the per-expert torch-Linear scale
+    U(±1/sqrt(fan_in)) — variance_scaling over the stacked (E, in, out) shape
+    would fold E into fan_in and start every expert sqrt(E)× too small."""
+    moe = MoEFFN(d_model=64, d_ff=128, num_experts=8)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 64))
+    p = moe.init(jax.random.PRNGKey(5), x)["params"]
+    w1_lim = float(jnp.max(jnp.abs(p["w1"])))
+    assert 0.8 / 8.0 < w1_lim <= 1 / 8.0          # 1/sqrt(64) = 0.125
+    w2_lim = float(jnp.max(jnp.abs(p["w2"])))
+    assert 0.8 / 128 ** 0.5 < w2_lim <= 1 / 128 ** 0.5
+
+
 def test_moe_capacity_bounds_and_aux_loss():
     """Overflow tokens are dropped (zero FFN output — they ride the residual)
     and the Switch aux loss is sown into the `losses` collection."""

@@ -119,6 +119,32 @@ def worker(process_id: int, out_dir: str) -> None:
     with open(os.path.join(out_dir, f"loss_rank{process_id}.txt"), "w") as fh:
         fh.write(repr(loss))
 
+    # 5. zero1 checkpoint gather: shard the Adam moments over the GLOBAL data
+    # axis (each host addresses only its half), then run the Trainer's
+    # save path — gather_cross_host must allgather the non-addressable
+    # leaves collectively before rank 0 serializes them.
+    from msla_tpu.parallel.mesh import (gather_cross_host, make_opt_shardings,
+                                        make_param_shardings)
+    from msla_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    p_sh = make_param_shardings(mesh, params)
+    o_sh = make_opt_shardings(mesh, tx, params, p_sh, zero1=True)
+    opt_z1 = jax.device_put(opt, o_sh)
+    mu_cb = opt_z1[0].mu["vector_quantizer"]["codebook"]
+    assert not mu_cb.is_fully_addressable, \
+        "zero1 moment unexpectedly host-local — the gather path is untested"
+    fetched = gather_cross_host(opt_z1)
+    assert all(getattr(l, "is_fully_addressable", True)
+               for l in jax.tree_util.tree_leaves(fetched))
+    if mesh_mod.is_main_process():
+        save_checkpoint(os.path.join(out_dir, "zero1.ckpt"), params=params,
+                        opt_state=fetched, epoch=0, global_step=1, hparams={})
+        back = load_checkpoint(os.path.join(out_dir, "zero1.ckpt"))
+        got = np.asarray(back["opt_state"]["0"]["mu"]["vector_quantizer"]["codebook"])
+        np.testing.assert_array_equal(got, np.asarray(
+            gather_cross_host(opt)[0].mu["vector_quantizer"]["codebook"]))
+    print(f"[rank {process_id}] zero1 cross-host checkpoint gather OK", flush=True)
+
     jax.distributed.shutdown()
 
 
