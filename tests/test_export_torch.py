@@ -118,14 +118,29 @@ def test_transformer_export_loads_into_torch_layer():
                       causal_mask(s), deterministic=True)
     np.testing.assert_allclose(np.asarray(got), want, **TOL)
 
-    # full-net exporter emits every layer + embedding/fc under reference keys
+    # full-net export strict-loads into a module with the reference's exact
+    # attribute layout (src/model/transformer.py:31-43: embedding,
+    # positional_encoding w/ pe buffer, transformer_decoder, fc) — the
+    # reference class itself needs lightning/torchmetrics/wandb, absent here
+    class RefShape(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding = torch.nn.Linear(4, e)
+            self.positional_encoding = torch.nn.Module()
+            self.positional_encoding.register_buffer(
+                "pe", torch.zeros(1, 10000, e))
+            self.transformer_decoder = torch.nn.TransformerDecoder(
+                torch.nn.TransformerDecoderLayer(d_model=e, nhead=h),
+                num_layers=1)
+            self.fc = torch.nn.Linear(e, 6)
+
     full = transformer_params_to_torch({"embedding": {"kernel": np.zeros((4, e), np.float32),
                                                       "bias": np.zeros(e, np.float32)},
                                         "fc": {"kernel": np.zeros((e, 6), np.float32),
                                                "bias": np.zeros(6, np.float32)},
                                         "layer0": params}, num_layers=1)
-    assert "transformer_decoder.layers.0.self_attn.in_proj_weight" in full
-    assert "embedding.weight" in full and "fc.weight" in full
+    RefShape().load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                                for k, v in full.items()}, strict=True)
 
 
 def test_zero_memory_import_handles_trained_value_bias():
