@@ -215,6 +215,25 @@ def test_trainer_zero1_matches_replicated(tmp_path):
                                rtol=1e-4)
 
 
+def test_zero1_composes_with_tensor_parallel_spec():
+    """zero1 moments INHERIT the tp spec and split a free dim over `data`:
+    a tp-sharded codebook P('model', None) gets moments P('model', 'data')."""
+    import optax
+
+    from msla_tpu.parallel.mesh import make_opt_shardings, make_param_shardings
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)  # data=4 x model=2
+    params = {"vector_quantizer": {"codebook": jnp.zeros((16, 8))},
+              "scalar": jnp.zeros(())}
+    tx = optax.adam(1e-3)
+    p_sh = make_param_shardings(mesh, params)
+    assert p_sh["vector_quantizer"]["codebook"].spec == P("model", None)
+    o_sh = make_opt_shardings(mesh, tx, params, p_sh, zero1=True)
+    assert o_sh[0].mu["vector_quantizer"]["codebook"].spec == P("model", "data")
+    # indivisible / scalar leaves keep their (replicated) spec
+    assert o_sh[0].mu["scalar"].spec == P()
+
+
 class _TransformerDataModule:
     """Minimal (quantized, instruments) datamodule over in-memory stems."""
 
