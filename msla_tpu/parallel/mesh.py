@@ -100,16 +100,51 @@ def tp_param_spec(path, leaf, mp: int) -> P:
     return P()
 
 
-def make_param_shardings(mesh: Mesh, params):
+def split_over_data(spec: P, shape, dp: int) -> P:
+    """Shard one more dim of `spec` over the `data` axis: the largest dim not
+    already claimed by another rule and divisible by the dp degree is split;
+    specs that already use `data`, and leaves with no divisible free dim (odd
+    biases, scalars), come back unchanged. Shared by ZeRO-1 (optimizer-state
+    sharding) and FSDP/ZeRO-3 (parameter sharding) — in both, placement is a
+    pure layout choice and XLA lowers the implied reduce-scatter/all-gather."""
+    axes = tuple(spec) + (None,) * (len(shape) - len(spec))
+    if DATA_AXIS in axes:
+        return spec
+    best = None
+    for i, (ax, n) in enumerate(zip(axes, shape)):
+        if ax is None and n % dp == 0 and (best is None or n > shape[best]):
+            best = i
+    if best is None:
+        return spec
+    return P(*(DATA_AXIS if i == best else ax for i, ax in enumerate(axes)))
+
+
+def make_param_shardings(mesh: Mesh, params, fsdp: bool = False):
     """NamedSharding tree for a param pytree: replicated on a 1-wide model
-    axis, tensor-parallel (tp_param_spec) otherwise."""
+    axis, tensor-parallel (tp_param_spec) otherwise.
+
+    fsdp=True (ZeRO-3 / fully-sharded data parallel) additionally shards
+    every leaf over the `data` axis via `split_over_data`: each dp rank holds
+    1/dp of the parameters (and, since `make_opt_shardings` mirrors the param
+    shardings, 1/dp of the Adam moments). XLA's SPMD partitioner inserts the
+    per-use all-gather in forward/backward and reduce-scatters the gradients
+    — the same schedule torch FSDP hand-implements with hooks. Composes with
+    tensor parallelism: tp rules claim the `model` axis first, fsdp splits a
+    remaining free dim over `data`."""
     mp = mesh.shape[MODEL_AXIS]
-    if mp <= 1:
+    dp = mesh.shape[DATA_AXIS]
+
+    def spec_for(path, leaf) -> P:
+        spec = tp_param_spec(path, leaf, mp) if mp > 1 else P()
+        if fsdp and dp > 1:
+            spec = split_over_data(spec, leaf.shape, dp)
+        return spec
+
+    if mp <= 1 and not (fsdp and dp > 1):
         repl = replicated(mesh)
         return jtu.tree_map(lambda _: repl, params)
     return jtu.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, tp_param_spec(path, leaf, mp)),
-        params)
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
 
 
 def make_opt_shardings(mesh: Mesh, tx, params, param_shardings, zero1: bool = False):
@@ -121,27 +156,18 @@ def make_opt_shardings(mesh: Mesh, tx, params, param_shardings, zero1: bool = Fa
     the param path), so the longest-suffix match recovers each leaf's param.
 
     zero1=True additionally shards every param-shaped leaf over the `data`
-    axis (ZeRO-1 / optimizer-state sharding): each dp rank holds 1/dp of the
-    Adam mu/nu, and XLA lowers the update to reduce-scatter(grads) → sharded
-    moment update → all-gather(updates). The largest dim not already claimed
-    by a tensor-parallel rule and divisible by the dp degree is split;
-    indivisible leaves (odd biases) stay replicated — correctness is a pure
+    axis (ZeRO-1 / optimizer-state sharding, via `split_over_data`): each dp
+    rank holds 1/dp of the Adam mu/nu, and XLA lowers the update to
+    reduce-scatter(grads) → sharded moment update → all-gather(updates).
+    Indivisible leaves (odd biases) stay replicated — correctness is a pure
     layout property either way (tests/test_parallel.py zero1 equality).
+    Param shardings that already use the `data` axis (fsdp=True) pass
+    through unchanged: the mirrored moments are then ZeRO-3-sharded already.
     """
     by_path = {tuple(str(k) for k in path): sh
                for path, sh in jtu.tree_flatten_with_path(param_shardings)[0]}
     repl = replicated(mesh)
     dp = mesh.shape[DATA_AXIS]
-
-    def zero1_spec(spec: P, shape) -> P:
-        axes = tuple(spec) + (None,) * (len(shape) - len(spec))
-        best = None
-        for i, (ax, n) in enumerate(zip(axes, shape)):
-            if ax is None and n % dp == 0 and (best is None or n > shape[best]):
-                best = i
-        if best is None:
-            return P(*axes)
-        return P(*(DATA_AXIS if i == best else ax for i, ax in enumerate(axes)))
 
     def pick(path, leaf):
         keys = tuple(str(k) for k in path)
@@ -149,7 +175,7 @@ def make_opt_shardings(mesh: Mesh, tx, params, param_shardings, zero1: bool = Fa
             sh = by_path.get(keys[start:])
             if sh is not None:
                 if zero1 and dp > 1:
-                    return NamedSharding(mesh, zero1_spec(sh.spec, leaf.shape))
+                    return NamedSharding(mesh, split_over_data(sh.spec, leaf.shape, dp))
                 return sh
         return repl
 
@@ -179,6 +205,20 @@ def shard_batch(mesh: Mesh, batch) -> jax.Array:
         return jax.make_array_from_process_local_data(sharding, arr)
     n_data = mesh.shape[DATA_AXIS]
     if arr.shape[0] % n_data != 0:
+        return jax.device_put(arr, replicated(mesh))
+    return jax.device_put(arr, sharding)
+
+
+def shard_stacked(mesh: Mesh, stacked) -> jax.Array:
+    """Like `shard_batch` for a (k, B, ...) stack of k microbatches: the
+    microbatch axis stays whole (the jitted step lax.scans over it) and the
+    example axis shards over `data` (gradient-accumulation feeding)."""
+    arr = np.asarray(stacked)
+    spec = P(None, DATA_AXIS)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, arr)
+    if arr.shape[1] % mesh.shape[DATA_AXIS] != 0:
         return jax.device_put(arr, replicated(mesh))
     return jax.device_put(arr, sharding)
 

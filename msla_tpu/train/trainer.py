@@ -92,10 +92,13 @@ class Trainer:
                  limit_val_batches: float = 1.0,
                  limit_test_batches: float = 1.0,
                  num_nodes: int = 1,
+                 accumulate_grad_batches: int = 1,
                  model_parallel: int = 1,
                  pipeline_parallel: int = 1,
                  pipeline_microbatches: int = 2,
                  zero1: bool = False,
+                 fsdp: bool = False,
+                 remat: bool = False,
                  precision: str = "medium",
                  seed: int = 0):
         self.default_root_dir = Path(default_root_dir)
@@ -123,8 +126,22 @@ class Trainer:
 
         # tp and pp both occupy the mesh `model` axis (2-D mesh): tp shards
         # parameters over it, pp stages the layer stack over it; zero1 shards
-        # the optimizer state over the `data` axis (composes with any of them)
+        # the optimizer state over the `data` axis (composes with any of them);
+        # fsdp (ZeRO-3) shards the PARAMS over `data` too — the mirrored
+        # optimizer state follows, so fsdp subsumes zero1
+        # Lightning's accumulate_grad_batches, TPU-style: k loader batches
+        # are stacked host-side and the jitted step lax.scans the forward/
+        # backward over them, averaging gradients before ONE optimizer
+        # update — identical math to a k×-larger batch (for the mean-reduced
+        # losses every task here uses) at 1/k the activation residency.
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self.zero1 = bool(zero1)
+        self.fsdp = bool(fsdp)
+        # remat (jax.checkpoint) trades one extra forward pass for dropping
+        # every intermediate activation from the backward's live set — the
+        # HBM lever for larger batches / longer waveforms. Gradients are
+        # IDENTICAL (rematerialization changes memory, not math).
+        self.remat = bool(remat)
         self.pipeline_parallel = max(1, int(pipeline_parallel))
         self.pipeline_microbatches = int(pipeline_microbatches)
         if self.pipeline_microbatches < 1:
@@ -133,6 +150,10 @@ class Trainer:
         if model_parallel > 1 and self.pipeline_parallel > 1:
             raise ValueError("model_parallel and pipeline_parallel both use the "
                              "`model` mesh axis — pick one")
+        if self.fsdp and self.pipeline_parallel > 1:
+            raise ValueError("fsdp shards parameters over `data` but pipeline "
+                             "parallelism builds its own stage-stacked layout "
+                             "— pick one (zero1 composes with pp)")
         self.devices = resolve_devices(accelerator, devices)
         self.mesh = make_mesh(self.devices,
                               model_parallel if model_parallel > 1
@@ -238,6 +259,45 @@ class Trainer:
         if prev_dev is not None:
             yield prev_raw, prev_dev
 
+    def _prefetched_grouped(self, loader, max_batches: int, k: int):
+        """Group k loader batches into a (k, B, ...) stack for the
+        gradient-accumulation step, double-buffered like `_prefetched`.
+        A shape-mismatched (ragged final) batch or a short tail flushes as a
+        smaller stack — at most k-1 extra compiles, and the optimizer still
+        steps on every example (Lightning's end-of-epoch semantics). Yields
+        (n_examples, device_stack)."""
+        from msla_tpu.parallel.mesh import shard_stacked
+
+        pending = None
+
+        def flush(group):
+            stacked = np.stack(group)
+            n = sum(len(g) for g in group)
+            return n, shard_stacked(self.mesh, stacked)
+
+        group: list = []
+        for batch_idx, raw in enumerate(loader):
+            if batch_idx >= max_batches:
+                break
+            arr = np.asarray(raw)
+            if group and arr.shape != group[0].shape:
+                if pending is not None:
+                    yield pending
+                pending = flush(group)
+                group = []
+            group.append(arr)
+            if len(group) == k:
+                if pending is not None:
+                    yield pending
+                pending = flush(group)
+                group = []
+        if group:
+            if pending is not None:
+                yield pending
+            pending = flush(group)
+        if pending is not None:
+            yield pending
+
     def _build_state(self, model, datamodule, sample_raw_batch, ckpt_path=None) -> None:
         self.datamodule = datamodule  # exposed to host-side hooks (audio demos)
         rng = jax.random.PRNGKey(self.seed)
@@ -259,7 +319,8 @@ class Trainer:
             repl = replicated(self.mesh)
             self._param_shardings = jtu.tree_map(lambda _: repl, params)
         else:
-            self._param_shardings = make_param_shardings(self.mesh, params)
+            self._param_shardings = make_param_shardings(self.mesh, params,
+                                                         fsdp=self.fsdp)
         self._opt_shardings = make_opt_shardings(self.mesh, self._tx, params,
                                                  self._param_shardings,
                                                  zero1=self.zero1)
@@ -282,24 +343,55 @@ class Trainer:
                              f"{type(model).__name__} has no pipeline-parallel "
                              "path (supports_pipeline is False)")
 
+        def grads_and_metrics(params, raw_batch, rng):
+            raw_batch = train_transform(raw_batch, rng)
+            batch = datamodule.on_after_batch_transfer(raw_batch)
+
+            def lf(params):
+                if use_pp:
+                    return model.pipeline_loss_fn(params, batch, rng, self.mesh,
+                                                  self.pipeline_microbatches)
+                return model.loss_fn(params, batch, rng)
+
+            if self.remat:
+                lf = jax.checkpoint(lf)
+            (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            return grads, metrics
+
         def step_fn(state: TrainState, raw_batch: jax.Array) -> tuple[TrainState, dict]:
             with jax.default_matmul_precision(self.matmul_precision):
                 rng = jax.random.fold_in(base_rng, state.step)
-                raw_batch = train_transform(raw_batch, rng)
-                batch = datamodule.on_after_batch_transfer(raw_batch)
+                if self.accumulate_grad_batches > 1:
+                    # raw_batch is a (k, B, ...) microbatch stack: scan the
+                    # fwd/bwd over it (one microbatch's activations live at a
+                    # time) and average the gradients — the same math as a
+                    # k×B batch for the mean-reduced losses every task uses.
+                    k = raw_batch.shape[0]
+                    grads, metrics = grads_and_metrics(
+                        state.params, raw_batch[0], jax.random.fold_in(rng, 0))
 
-                def lf(params):
-                    if use_pp:
-                        return model.pipeline_loss_fn(params, batch, rng, self.mesh,
-                                                      self.pipeline_microbatches)
-                    return model.loss_fn(params, batch, rng)
+                    def body(carry, i_raw):
+                        g_sum, m_sum = carry
+                        i, raw = i_raw
+                        g, m = grads_and_metrics(state.params, raw,
+                                                 jax.random.fold_in(rng, i))
+                        return (jax.tree.map(jnp.add, g_sum, g),
+                                jax.tree.map(jnp.add, m_sum, m)), None
 
-                (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(state.params)
+                    (grads, metrics), _ = jax.lax.scan(
+                        body, (grads, metrics),
+                        (jnp.arange(1, k), raw_batch[1:]))
+                    grads = jax.tree.map(lambda g: g / k, grads)
+                    metrics = jax.tree.map(lambda m: m / k, metrics)
+                else:
+                    grads, metrics = grads_and_metrics(state.params, raw_batch, rng)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
-                if self.zero1:
+                if self.zero1 or self.fsdp:
                     # pin the updated moments to their dp-sharded layout: the
                     # constraint makes XLA reduce-scatter the grads, update
                     # 1/dp of mu/nu per rank, and all-gather only the updates
+                    # (under fsdp the params stay 1/dp too — the out_shardings
+                    # pin below keeps the all-gather per-use, not per-step)
                     opt_state = jax.lax.with_sharding_constraint(
                         opt_state, self._opt_shardings)
                 params = optax.apply_updates(state.params, updates)
@@ -394,12 +486,17 @@ class Trainer:
             max_batches = self._limit(len(train_loader),
                                       1 if self.fast_dev_run else self.limit_train_batches)
             t_epoch = time.perf_counter()
-            for batch_idx, (raw, dev_batch) in enumerate(
-                    self._prefetched(train_loader, max_batches)):
+            if self.accumulate_grad_batches > 1:
+                source = self._prefetched_grouped(train_loader, max_batches,
+                                                  self.accumulate_grad_batches)
+            else:
+                source = ((len(raw), dev) for raw, dev in
+                          self._prefetched(train_loader, max_batches))
+            for batch_idx, (n_examples, dev_batch) in enumerate(source):
                 with self.profiler.track("train_step"):
                     self._state, metrics = train_step(self._state, dev_batch)
                 self.global_step += 1
-                epoch_count += len(raw)
+                epoch_count += n_examples
                 if self.log_every_n_steps and self.global_step % self.log_every_n_steps == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     self._log(host, self.global_step)
@@ -410,7 +507,7 @@ class Trainer:
                 # float() here would force a device sync every step —
                 # weighted by batch size (Lightning on_epoch reduction)
                 for k, v in metrics.items():
-                    w = len(raw)
+                    w = n_examples
                     epoch_sums[k] = epoch_sums[k] + v * w if k in epoch_sums else v * w
 
             train_epoch = {k: float(v) / max(epoch_count, 1)

@@ -215,6 +215,178 @@ def test_trainer_zero1_matches_replicated(tmp_path):
                                rtol=1e-4)
 
 
+def test_trainer_fsdp_matches_replicated(tmp_path):
+    """Trainer(fsdp=True) shards the PARAMETERS (and, mirrored, the Adam
+    moments) over the `data` axis (ZeRO-3 / fully-sharded data parallel) and
+    must train identically to the replicated run — parameter placement is a
+    pure layout choice; XLA inserts the per-use all-gather and the gradient
+    reduce-scatter the sharding implies."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(13)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(fsdp):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=8)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0, fsdp=fsdp)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_repl = fit(False)
+    t_fsdp = fit(True)
+
+    # params actually sharded over `data` (codebook: 16x8, dim0 % 8 == 0) …
+    cb = t_fsdp.state.params["vector_quantizer"]["codebook"]
+    assert cb.sharding.spec == P("data", None)
+    # … and the moments mirror the param sharding (ZeRO-3, not just ZeRO-1)
+    mu_cb = t_fsdp.state.opt_state[0].mu["vector_quantizer"]["codebook"]
+    assert mu_cb.sharding.spec == P("data", None)
+
+    for a, b in zip(jax.tree_util.tree_leaves(t_repl.state.params),
+                    jax.tree_util.tree_leaves(t_fsdp.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(t_repl.callback_metrics["validation/loss"],
+                               t_fsdp.callback_metrics["validation/loss"],
+                               rtol=1e-4)
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """A checkpoint written from fsdp-sharded state restores bit-identically
+    (save gathers host-side; restore re-commits to the fsdp layout)."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(14)
+    data = rng.standard_normal((8, 4, 512)).astype(np.float32)
+    task = make_task()
+    trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=1,
+                      accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, fsdp=True)
+    trainer.fit(task, _ArrayDataModule(data, batch_size=8))
+    ckpt = tmp_path / "fsdp.ckpt"
+    trainer.save_checkpoint(ckpt)
+    saved = jax.tree_util.tree_leaves(trainer.state.params)
+
+    trainer2 = Trainer(default_root_dir=str(tmp_path), max_epochs=1,
+                       accelerator="cpu", enable_progress_bar=False,
+                       log_every_n_steps=0, fsdp=True)
+    task2 = make_task()
+    trainer2._build_state(task2, _ArrayDataModule(data, batch_size=8),
+                          data[:8], ckpt_path=str(ckpt))
+    cb = trainer2.state.params["vector_quantizer"]["codebook"]
+    assert cb.sharding.spec == P("data", None)
+    for a, b in zip(saved, jax.tree_util.tree_leaves(trainer2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_grad_accumulation_matches_big_batch(tmp_path):
+    """accumulate_grad_batches=2 at batch 8 must train like batch 16: the
+    in-jit scan averages the microbatch gradients before one optimizer
+    update, which for mean-reduced losses is exactly the big-batch gradient
+    (Lightning's accumulate_grad_batches semantics)."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(17)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(batch_size, accumulate):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=batch_size)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0,
+                          accumulate_grad_batches=accumulate)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_big = fit(16, 1)
+    t_acc = fit(8, 2)
+    # one optimizer step per epoch either way
+    assert t_acc.global_step == t_big.global_step
+    for a, b in zip(jax.tree_util.tree_leaves(t_big.state.params),
+                    jax.tree_util.tree_leaves(t_acc.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(t_big.callback_metrics["validation/loss"],
+                               t_acc.callback_metrics["validation/loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(t_big.callback_metrics["train/loss"],
+                               t_acc.callback_metrics["train/loss"],
+                               rtol=1e-4)
+
+
+def test_grad_accumulation_ragged_tail_steps_every_example(tmp_path):
+    """A batch count not divisible by k still consumes every example: the
+    short tail group flushes as a smaller stack and takes its own optimizer
+    step (Lightning end-of-epoch semantics)."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(18)
+    data = rng.standard_normal((24, 4, 512)).astype(np.float32)  # 3 batches of 8
+    task = make_task()
+    dm = _ArrayDataModule(data, batch_size=8)
+    trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=1,
+                      accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, accumulate_grad_batches=2)
+    trainer.fit(task, dm)
+    assert trainer.global_step == 2  # (2-batch stack, 1-batch tail)
+    assert np.isfinite(trainer.callback_metrics["train/loss"])
+
+
+def test_trainer_remat_matches_plain(tmp_path):
+    """Trainer(remat=True) rematerializes the forward during backward
+    (jax.checkpoint) — an HBM/activation-residency choice that must leave the
+    training trajectory bit-for-bit unchanged."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(15)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(remat):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=8)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0, remat=remat)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_plain = fit(False)
+    t_remat = fit(True)
+    for a, b in zip(jax.tree_util.tree_leaves(t_plain.state.params),
+                    jax.tree_util.tree_leaves(t_remat.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(t_plain.callback_metrics["validation/loss"],
+                               t_remat.callback_metrics["validation/loss"],
+                               rtol=1e-6)
+
+
+def test_fsdp_composes_with_tensor_parallel_spec():
+    """fsdp params INHERIT the tp spec and split a free dim over `data`
+    (P('model', None) → P('model', 'data')); the mirrored moments pass
+    through make_opt_shardings(zero1=True) UNCHANGED — no double-split of
+    the `data` axis."""
+    import optax
+
+    from msla_tpu.parallel.mesh import make_opt_shardings, make_param_shardings
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)  # data=4 x model=2
+    params = {"vector_quantizer": {"codebook": jnp.zeros((16, 8))},
+              "bias": jnp.zeros((3,)),  # 3 % 4 != 0 → stays replicated
+              "scalar": jnp.zeros(())}
+    p_sh = make_param_shardings(mesh, params, fsdp=True)
+    assert p_sh["vector_quantizer"]["codebook"].spec == P("model", "data")
+    assert p_sh["bias"].spec == P()
+    assert p_sh["scalar"].spec == P()
+    tx = optax.adam(1e-3)
+    o_sh = make_opt_shardings(mesh, tx, params, p_sh, zero1=True)
+    assert o_sh[0].mu["vector_quantizer"]["codebook"].spec == P("model", "data")
+    assert o_sh[0].mu["bias"].spec == P()
+
+
 def test_zero1_composes_with_tensor_parallel_spec():
     """zero1 moments INHERIT the tp spec and split a free dim over `data`:
     a tp-sharded codebook P('model', None) gets moments P('model', 'data')."""
@@ -298,6 +470,8 @@ def test_trainer_pipeline_parallel_rejects_unsupported(tmp_path):
 
     with pytest.raises(ValueError, match="model.*axis"):
         Trainer(accelerator="cpu", model_parallel=2, pipeline_parallel=2)
+    with pytest.raises(ValueError, match="fsdp"):
+        Trainer(accelerator="cpu", fsdp=True, pipeline_parallel=2)
 
     task = make_task()  # VQVAETask: supports_pipeline is False
     rng = np.random.default_rng(8)
