@@ -336,6 +336,37 @@ def test_grad_accumulation_ragged_tail_steps_every_example(tmp_path):
     assert np.isfinite(trainer.callback_metrics["train/loss"])
 
 
+def test_trainer_fsdp_composes_with_tp_fit(tmp_path):
+    """fsdp=True together with model_parallel=2: the codebook keeps its tp
+    split AND gains the data split (P('model', 'data')) — and the composed
+    run still trains identically to the replicated one."""
+    from msla_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(16)
+    data = rng.standard_normal((16, 4, 512)).astype(np.float32)
+
+    def fit(**kw):
+        task = make_task()
+        dm = _ArrayDataModule(data, batch_size=8)
+        trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=2,
+                          accelerator="cpu", enable_progress_bar=False,
+                          log_every_n_steps=0, **kw)
+        trainer.fit(task, dm)
+        return trainer
+
+    t_repl = fit()
+    t_both = fit(fsdp=True, model_parallel=2)
+    cb = t_both.state.params["vector_quantizer"]["codebook"]
+    assert cb.sharding.spec == P("model", "data")
+    for a, b in zip(jax.tree_util.tree_leaves(t_repl.state.params),
+                    jax.tree_util.tree_leaves(t_both.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
+    np.testing.assert_allclose(t_repl.callback_metrics["validation/loss"],
+                               t_both.callback_metrics["validation/loss"],
+                               rtol=1e-4)
+
+
 def test_trainer_remat_matches_plain(tmp_path):
     """Trainer(remat=True) rematerializes the forward during backward
     (jax.checkpoint) — an HBM/activation-residency choice that must leave the
