@@ -68,26 +68,32 @@ class SlakhDataModule:
                             masking=masking)
 
     # Datasets are built per dataloader call, like the reference
-    # (datamodule.py:77 note about building in setup()).
+    # (datamodule.py:77 note about building in setup()); multi-host runs get
+    # the DistributedSampler role for free — each host loads a disjoint
+    # 1/process_count interleave (Lightning injects the sampler for the
+    # reference, src/data/datamodule.py:76-110).
+    def _loader(self, dataset, **kw) -> DataLoader:
+        from msla_tpu.parallel.mesh import process_info
+
+        rank, count = process_info()
+        return DataLoader(dataset, num_workers=self.num_workers, seed=self.seed,
+                          process_index=rank, process_count=count, **kw)
+
     def train_dataloader(self) -> DataLoader:
-        return DataLoader(self.create_dataset(self.train_dir, masking=self.masking),
-                          batch_size=self.batch_size, shuffle=True, drop_last=True,
-                          num_workers=self.num_workers, seed=self.seed)
+        return self._loader(self.create_dataset(self.train_dir, masking=self.masking),
+                            batch_size=self.batch_size, shuffle=True, drop_last=True)
 
     def val_dataloader(self) -> DataLoader:
-        return DataLoader(self.create_dataset(self.val_dir),
-                          batch_size=self.batch_size, shuffle=False, drop_last=True,
-                          num_workers=self.num_workers, seed=self.seed)
+        return self._loader(self.create_dataset(self.val_dir),
+                            batch_size=self.batch_size, shuffle=False, drop_last=True)
 
     def test_dataloader(self) -> DataLoader:
-        return DataLoader(self.create_dataset(self.test_dir),
-                          batch_size=self.batch_size, shuffle=False, drop_last=True,
-                          num_workers=self.num_workers, seed=self.seed)
+        return self._loader(self.create_dataset(self.test_dir),
+                            batch_size=self.batch_size, shuffle=False, drop_last=True)
 
     def predict_dataloader(self) -> DataLoader:
-        return DataLoader(self.create_dataset(self.test_dir),
-                          batch_size=1, shuffle=False, drop_last=False,
-                          num_workers=self.num_workers, seed=self.seed)
+        return self._loader(self.create_dataset(self.test_dir),
+                            batch_size=1, shuffle=False, drop_last=False)
 
     # ---- device-side batch transform (jittable) ----------------------------
     def train_transform(self, batch: jax.Array, rng: jax.Array) -> jax.Array:

@@ -18,17 +18,41 @@ import numpy as np
 
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 drop_last: bool = False, num_workers: int = 0, seed: int = 0):
+                 drop_last: bool = False, num_workers: int = 0, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1):
+        """`process_index`/`process_count`: multi-host interleave (the torch
+        DistributedSampler role). Every rank draws the SAME epoch permutation
+        (shared seed, rank-independent rng consumption) and takes the strided
+        slice `order[process_index::process_count]` after wrap-padding the
+        order to a multiple of process_count — so all ranks yield the SAME
+        number of equally-sized batches (collective lockstep) of DISJOINT
+        examples (up to ≤process_count-1 wrapped duplicates per epoch).
+        `batch_size` stays the PER-PROCESS batch: `shard_batch` assembles the
+        global batch from these local shards, so the effective global batch is
+        batch_size × process_count (torch-DDP semantics)."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = int(num_workers)
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if not 0 <= self.process_index < self.process_count:
+            raise ValueError(f"process_index {process_index} outside "
+                             f"process_count {process_count}")
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _local_len(self) -> int:
+        """Per-rank example count: ceil(n / process_count), identical on every
+        rank (wrap-padded)."""
         n = len(self.dataset)
+        if self.process_count == 1:
+            return n
+        return -(-n // self.process_count)
+
+    def __len__(self) -> int:
+        n = self._local_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -37,6 +61,11 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_count > 1:
+            total = self._local_len() * self.process_count
+            if total > len(order):  # wrap-pad so every rank gets equal length
+                order = np.concatenate([order, order[:total - len(order)]])
+            order = order[self.process_index::self.process_count]
         batches = []
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]

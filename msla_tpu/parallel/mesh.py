@@ -242,18 +242,37 @@ def gather_cross_host(tree):
 
 
 _recorded_rank: int | None = None
+_recorded_count: int | None = None
 _warned_env_fallback = False
 
 
-def record_process_rank(rank: int | None = None) -> int:
-    """Record this process's rank via the PUBLIC API, once a backend is
-    KNOWINGLY up (Trainer.__init__ after resolve_devices; setup_distributed
-    after jax.distributed.initialize). After this, is_main_process() answers
-    from the record instead of probing private jax internals — removing the
-    `jax._src.xla_bridge` drift risk (round-2 VERDICT weak #4)."""
-    global _recorded_rank
+def record_process_rank(rank: int | None = None, count: int | None = None) -> int:
+    """Record this process's rank (and world size) via the PUBLIC API, once a
+    backend is KNOWINGLY up (Trainer.__init__ after resolve_devices;
+    setup_distributed after jax.distributed.initialize). After this,
+    is_main_process()/process_info() answer from the record instead of probing
+    private jax internals — removing the `jax._src.xla_bridge` drift risk
+    (round-2 VERDICT weak #4)."""
+    global _recorded_rank, _recorded_count
     _recorded_rank = int(jax.process_index()) if rank is None else int(rank)
+    _recorded_count = int(jax.process_count()) if count is None else int(count)
     return _recorded_rank
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) WITHOUT initializing a backend.
+
+    Resolution mirrors is_main_process(): the recorded rank/count when a
+    backend was deliberately brought up, else the single-process answer
+    (0, 1). Data loaders consult this to interleave the dataset across hosts
+    (each host loads a disjoint 1/process_count stride — the torch
+    DistributedSampler role, reference src/data/datamodule.py:76-110 relies on
+    Lightning injecting one); calling jax.process_count() here instead would
+    claim the single-client axon tunnel from a mere loader construction (the
+    CLAUDE.md backend-claim trap)."""
+    if _recorded_rank is not None and _recorded_count is not None:
+        return _recorded_rank, _recorded_count
+    return 0, 1
 
 
 def is_main_process() -> bool:

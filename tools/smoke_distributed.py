@@ -11,7 +11,10 @@ global mesh. Covers, per process:
      `shard_batch`'s multi-process branch (`make_array_from_process_local_data`), with the
      resulting loss fetched on both ranks and cross-checked bit-identically;
   4. rank guards: `is_main_process()` True only on rank 0, and an
-     artifact-write probe shows rank 1 writes nothing.
+     artifact-write probe shows rank 1 writes nothing;
+  5. the loader's DistributedSampler role: a DataLoader built through
+     `process_info()` feeds each rank a disjoint interleave of one shared
+     permutation (parent cross-checks the ranks' fed indices).
 
 Usage:  python tools/smoke_distributed.py            # parent: spawns workers
         (writes examples/distributed_smoke.log)
@@ -74,6 +77,28 @@ def worker(process_id: int, out_dir: str) -> None:
     if mesh_mod.is_main_process():
         with open(os.path.join(out_dir, f"artifact_rank{process_id}.txt"), "w") as fh:
             fh.write(f"rank{process_id}\n")
+
+    # DistributedSampler role across REAL processes: a loader built through
+    # process_info() must feed this rank a disjoint interleave of the dataset
+    # (parent cross-checks the two ranks' index files)
+    import numpy as _np
+
+    from msla_tpu.data.loader import DataLoader
+    from msla_tpu.parallel.mesh import process_info
+
+    class _IdxDs:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return _np.array([i], dtype=_np.int64)
+
+    r, c = process_info()
+    assert (r, c) == (process_id, NPROC), (r, c)
+    fed = _np.concatenate([b[:, 0] for b in DataLoader(
+        _IdxDs(), batch_size=2, shuffle=True, seed=11,
+        process_index=r, process_count=c)])
+    _np.save(os.path.join(out_dir, f"fed_rank{process_id}.npy"), fed)
 
     # one dp train step over the GLOBAL 8-device mesh
     import jax.numpy as jnp
@@ -192,6 +217,15 @@ def parent() -> int:
         checks.append(f"rank-0 artifact written: {wrote0}; "
                       f"non-zero ranks that wrote (must be none): {wrote_others}")
         ok = ok and wrote0 and not wrote_others
+        import numpy as np
+
+        fed = [np.load(os.path.join(out_dir, f"fed_rank{i}.npy"))
+               for i in range(NPROC)]
+        disjoint = not set(fed[0]) & set(fed[1])
+        covered = set(np.concatenate(fed).tolist()) == set(range(12))
+        checks.append(f"loader interleave disjoint across ranks: {disjoint}; "
+                      f"full dataset covered: {covered}")
+        ok = ok and disjoint and covered
 
     lines = [
         "2-process jax.distributed smoke (CPU backend, localhost coordinator)",
