@@ -204,6 +204,21 @@ def generate(cfg: ConfigNode) -> None:
 
 def run(cfg: ConfigNode) -> float | None:
     """One composed-config run (the body of @hydra.main — reference: main.py:215-236)."""
+    # Persistent XLA compile cache, for NON-cpu runs only: full TPU train-step
+    # compiles cost minutes through the axon tunnel, seconds when cached. CPU
+    # runs are excluded deliberately — XLA:CPU cache entries are AOT machine
+    # code keyed loosely enough that an entry compiled on a different host
+    # loads with a "could lead to execution errors such as SIGILL" warning and
+    # can kill the process (observed: 2-process CPU run dying silently in
+    # generate()); CPU compiles are cheap anyway.
+    if str(cfg.select("trainer.accelerator", "tpu")) != "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     extras(cfg)
     if cfg.get("seed") is not None:
         seed_everything(int(cfg.seed))
@@ -251,16 +266,6 @@ def main(argv: list[str] | None = None) -> float | None:
     from msla_tpu.parallel.distributed import setup_distributed
 
     setup_distributed()  # no-op on a single host
-
-    # persistent XLA compile cache: full TPU train-step compiles cost minutes
-    # through the axon tunnel, seconds when cached (same knob as bench.py)
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = False

@@ -38,6 +38,16 @@ def setup_distributed(coordinator_address: str | None = None,
 
     import jax
 
+    # The platform must be chosen BEFORE the runtime initializes (the first
+    # backend query below claims it): a CPU-backend multi-process run on a
+    # host that also exposes a single-client TPU tunnel (this build image)
+    # would otherwise have every worker claim the chip and deadlock. The
+    # launcher's --platform flag sets MSLA_PLATFORM; trainer.accelerator
+    # resolves too late (after config compose) for this decision.
+    platform = os.environ.get("MSLA_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -60,6 +60,12 @@ def launch(argv: list[str] | None = None) -> int:
                         help="this host's index in [0, nnodes)")
     parser.add_argument("--coordinator", default=None,
                         help="host:port of process 0 (default: localhost:<free port>)")
+    parser.add_argument("--platform", default=None,
+                        help="jax platform every worker pins BEFORE runtime "
+                             "init (e.g. cpu). Required for CPU multi-process "
+                             "runs on hosts that also expose a single-client "
+                             "TPU: the workers would otherwise all claim the "
+                             "chip during jax.distributed.initialize")
     parser.add_argument("cmd", nargs=argparse.REMAINDER,
                         help="-- script.py [args...]")
     args = parser.parse_args(argv)
@@ -83,6 +89,8 @@ def launch(argv: list[str] | None = None) -> int:
         env["JAX_COORDINATOR_ADDRESS"] = args.coordinator
         env["JAX_NUM_PROCESSES"] = str(num_processes)
         env["JAX_PROCESS_ID"] = str(rank)
+        if args.platform:
+            env["MSLA_PLATFORM"] = args.platform
         p = subprocess.Popen([sys.executable, *cmd], env=env,
                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                              text=True)

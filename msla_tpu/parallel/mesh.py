@@ -45,7 +45,16 @@ def resolve_devices(accelerator: str = "auto", devices: int = -1) -> list:
         devs = jax.devices()
     if devices is None or devices == -1:
         return devs
-    return devs[: max(1, int(devices))]
+    k = max(1, int(devices))
+    if jax.process_count() > 1:
+        # Multi-process: `devices` counts PER-PROCESS local devices (the
+        # Lightning per-node semantics). The mesh must stay GLOBAL and
+        # identical on every rank — slicing the global list would hand
+        # non-rank-0 processes a mesh with zero addressable devices (every
+        # shard_batch/collective then fails).
+        return [d for p in range(jax.process_count())
+                for d in [q for q in devs if q.process_index == p][:k]]
+    return devs[:k]
 
 
 def make_mesh(devices: list | None = None, model_parallel: int = 1) -> Mesh:

@@ -13,11 +13,14 @@ import textwrap
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SCRIPT = textwrap.dedent("""
+    # NO manual platform pin here: the launcher's --platform cpu must reach
+    # setup_distributed (via MSLA_PLATFORM) and keep all ranks off the
+    # single-client axon tunnel — exactly what a `launch -- main.py` run needs.
     import jax
-    jax.config.update("jax_platforms", "cpu")   # keep off the axon tunnel
     from msla_tpu.parallel.distributed import setup_distributed
     from msla_tpu.parallel.mesh import is_main_process
     assert setup_distributed(), "env vars from the launcher not picked up"
+    assert jax.default_backend() == "cpu", jax.default_backend()
     print(f"rank={jax.process_index()} global={jax.device_count()} "
           f"main={is_main_process()}")
 """)
@@ -33,7 +36,7 @@ def test_launcher_two_process(tmp_path):
                kept + ["--xla_force_host_platform_device_count=4"])}
     proc = subprocess.run(
         [sys.executable, "-m", "msla_tpu.parallel.launch", "--nproc", "2",
-         "--", str(script)],
+         "--platform", "cpu", "--", str(script)],
         capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "[rank 0] rank=0 global=8 main=True" in proc.stdout

@@ -547,3 +547,24 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_resolve_devices_multiprocess_local_semantics(monkeypatch):
+    """Under multi-process, trainer.devices counts PER-PROCESS local devices
+    (Lightning per-node semantics) and the resolved list stays GLOBAL and
+    rank-identical — slicing the global list handed non-rank-0 processes a
+    mesh with zero addressable devices (the debug=default `devices: 1`
+    2-process crash: StopIteration from empty addressable_shards)."""
+    from types import SimpleNamespace
+
+    from msla_tpu.parallel.mesh import resolve_devices
+
+    fake = [SimpleNamespace(id=i, process_index=i // 4) for i in range(8)]
+    monkeypatch.setattr(jax, "devices", lambda *a: fake)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    got = resolve_devices("tpu", devices=1)
+    assert [(d.process_index, d.id) for d in got] == [(0, 0), (1, 4)]
+    got = resolve_devices("tpu", devices=3)
+    assert [(d.process_index, d.id) for d in got] == [
+        (0, 0), (0, 1), (0, 2), (1, 4), (1, 5), (1, 6)]
+    assert len(resolve_devices("tpu", devices=-1)) == 8  # -1 = all, unchanged
