@@ -483,6 +483,30 @@ def main() -> None:
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     t_start = time.perf_counter()
 
+    # Hard watchdog: the per-metric budget checks only run BETWEEN metrics. A
+    # device call that never returns (observed: the axon tunnel wedging on a
+    # stale claim — the first jnp op blocks forever) would otherwise produce
+    # NO JSON at all when the driver's own timeout kills the process. Emit a
+    # null-metric line with a diagnostic note instead, so the record says
+    # "environment down", not "bench broken".
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
+            "value": None, "unit": "samples/sec/chip", "vs_baseline": None,
+            "metrics": {}, "note": ("watchdog: a device call exceeded the hard "
+                                    "deadline — TPU tunnel unavailable/wedged; "
+                                    "see PERFORMANCE.md for the last measured "
+                                    "values")}), flush=True)
+        os._exit(3)
+
+    hard_deadline = float(os.environ.get("BENCH_HARD_DEADLINE_S",
+                                         max(budget * 2.5, budget + 600)))
+    watchdog = threading.Timer(hard_deadline, _fire)
+    watchdog.daemon = True
+    watchdog.start()
+
     def timed(fn, *args, required=False):
         elapsed = time.perf_counter() - t_start
         if not required and elapsed > budget:
@@ -545,6 +569,7 @@ def main() -> None:
         "reference_baseline": {k: round(v, 1) for k, v in base.items()
                                if isinstance(v, (int, float))},
     }))
+    watchdog.cancel()
 
 
 if __name__ == "__main__":
