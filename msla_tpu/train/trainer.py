@@ -603,6 +603,16 @@ class Trainer:
             return model.predict_step(params, batch)
 
         bucket = None
+        # Multi-process: each rank's local rows must split evenly over its
+        # local share of the data axis (make_array_from_process_local_data has
+        # no replicated fallback, unlike the single-host branch), so the pad
+        # bucket rounds UP to that unit — e.g. predict's batch_size=1 on a
+        # 2-process x 4-local-device mesh pads every batch to 4 rows.
+        unit = 1
+        if jax.process_count() > 1:
+            from msla_tpu.parallel.mesh import DATA_AXIS
+
+            unit = max(1, self.mesh.shape[DATA_AXIS] // jax.process_count())
 
         def padded(loader):
             """Pad ragged batches on the HOST before the (single) device
@@ -614,7 +624,7 @@ class Trainer:
                 arr = np.asarray(raw)
                 rows = arr.shape[0]
                 if bucket is None:
-                    bucket = rows
+                    bucket = -(-rows // unit) * unit
                 if rows < bucket:
                     pad = np.broadcast_to(arr[:1], (bucket - rows,) + arr.shape[1:])
                     arr = np.concatenate([arr, pad])
@@ -626,7 +636,19 @@ class Trainer:
         def consume(rows, dev_batch):
             out = predict_fn(self._state.params, dev_batch)
             if rows < bucket:
-                out = jax.tree.map(lambda o: o[:rows], out)
+                nproc = jax.process_count()
+                if nproc > 1:
+                    # the global batch concatenates per-process local shards
+                    # in process order — each rank's real rows sit at its
+                    # block offset, so [:rows] would keep only rank 0's
+                    def true_rows(o):
+                        return jnp.concatenate(
+                            [o[p * bucket:p * bucket + rows]
+                             for p in range(nproc)])
+
+                    out = jax.tree.map(true_rows, out)
+                else:
+                    out = jax.tree.map(lambda o: o[:rows], out)
             outputs.append(out)
 
         for item in padded(loader):
@@ -635,6 +657,14 @@ class Trainer:
             pending = item
         if pending is not None:
             consume(*pending)
+        if jax.process_count() > 1:
+            # Predict outputs are global arrays sharded across processes — a
+            # host-side consumer (visualize/generate, rank-0-gated) could not
+            # fetch them. Allgather COLLECTIVELY (every rank calls predict, so
+            # every rank participates) so each rank returns host-usable rows.
+            from msla_tpu.parallel.mesh import gather_cross_host
+
+            outputs = gather_cross_host(outputs)
         return outputs
 
     @property

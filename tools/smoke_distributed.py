@@ -14,7 +14,11 @@ global mesh. Covers, per process:
      artifact-write probe shows rank 1 writes nothing;
   5. the loader's DistributedSampler role: a DataLoader built through
      `process_info()` feeds each rank a disjoint interleave of one shared
-     permutation (parent cross-checks the ranks' fed indices).
+     permutation (parent cross-checks the ranks' fed indices);
+  6. multi-process Trainer.predict: batch_size=1 loaders pad to the local
+     device share, true rows re-slice from per-process block offsets, and
+     outputs allgather — every rank returns all rows exactly once
+     (parent cross-checks bit-identical predictions).
 
 Usage:  python tools/smoke_distributed.py            # parent: spawns workers
         (writes examples/distributed_smoke.log)
@@ -170,6 +174,35 @@ def worker(process_id: int, out_dir: str) -> None:
             gather_cross_host(opt)[0].mu["vector_quantizer"]["codebook"]))
     print(f"[rank {process_id}] zero1 cross-host checkpoint gather OK", flush=True)
 
+    # 6. multi-process predict through the real Trainer: per-rank batch_size=1
+    # loaders interleave 8 examples; the pad bucket rounds up to the local
+    # device share (4), true rows are re-sliced from per-process block
+    # offsets, and outputs allgather — every rank returns ALL 8 predictions,
+    # each example predicted exactly once, bit-identical across ranks.
+    from msla_tpu.train.trainer import Trainer
+
+    pdata = (rng.standard_normal((8, 4, 256)) * 0.3).astype(np.float32)
+
+    class _PredictDM:
+        def predict_dataloader(self):
+            return DataLoader(list(pdata), batch_size=1, shuffle=False,
+                              drop_last=False, process_index=r, process_count=c)
+
+        def on_after_batch_transfer(self, batch):
+            import jax.numpy as jnp
+
+            mix = jnp.sum(batch, axis=1, keepdims=True)
+            return jnp.broadcast_to(mix, batch.shape), batch
+
+    trainer = Trainer(default_root_dir=out_dir, accelerator="cpu",
+                      enable_progress_bar=False, log_every_n_steps=0)
+    outs = trainer.predict(task, _PredictDM())
+    got = np.concatenate([np.asarray(o) for o in outs])
+    assert got.shape == (8, 4, 256), got.shape
+    assert np.isfinite(got).all()
+    _np.save(os.path.join(out_dir, f"predict_rank{process_id}.npy"), got)
+    print(f"[rank {process_id}] multi-process predict OK: {got.shape}", flush=True)
+
     jax.distributed.shutdown()
 
 
@@ -226,6 +259,12 @@ def parent() -> int:
         checks.append(f"loader interleave disjoint across ranks: {disjoint}; "
                       f"full dataset covered: {covered}")
         ok = ok and disjoint and covered
+        preds = [np.load(os.path.join(out_dir, f"predict_rank{i}.npy"))
+                 for i in range(NPROC)]
+        pred_eq = bool(np.array_equal(preds[0], preds[1]))
+        checks.append(f"multi-process predict: all-8-rows on every rank, "
+                      f"bit-identical across ranks: {pred_eq}")
+        ok = ok and pred_eq
 
     lines = [
         "2-process jax.distributed smoke (CPU backend, localhost coordinator)",
