@@ -235,7 +235,15 @@ def run(cfg: ConfigNode) -> float | None:
     # are missing/incompatible (SURVEY.md §2 quirk 5). Here they are gated on
     # flags (+generate=False / +visualize=False to disable) and failure-
     # isolated: stale checkpoints from a different config (e.g. another
-    # sample rate) must not invalidate a finished training run.
+    # sample rate) must not invalidate a finished training run. Rank-gated on
+    # multi-host: both are single-device analyses writing fixed paths — every
+    # rank running them would race the same WAV/SVG files (they use no mesh
+    # collectives, so skipping non-zero ranks cannot deadlock).
+    from msla_tpu.parallel.mesh import is_main_process
+
+    if not is_main_process():
+        return get_metric_value(metric_dict=metric_dict,
+                                metric_name=cfg.get("optimized_metric"))
     def _mismatch_hint(err) -> str:
         # a flax shape error restoring a checkpoint almost always means the
         # artifact was trained under a different config (e.g. sample rate)
