@@ -483,29 +483,36 @@ def main() -> None:
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     t_start = time.perf_counter()
 
-    # Hard watchdog: the per-metric budget checks only run BETWEEN metrics. A
-    # device call that never returns (observed: the axon tunnel wedging on a
-    # stale claim — the first jnp op blocks forever) would otherwise produce
-    # NO JSON at all when the driver's own timeout kills the process. Emit a
-    # null-metric line with a diagnostic note instead, so the record says
-    # "environment down", not "bench broken".
+    # Progress watchdog: the per-metric budget checks only run BETWEEN
+    # metrics. A device call that never returns (observed: the axon tunnel
+    # wedging on a stale claim — the first jnp op blocks forever) would
+    # otherwise produce NO JSON at all when the driver's own timeout kills the
+    # process. Fires only when NO metric has completed for hard_deadline
+    # seconds — total wall-clock would false-positive on a legitimately slow
+    # fully-cold-cache run (7 graphs x ~130 s remote compiles) and discard the
+    # metrics that DID finish. Emits a null-metric line with a diagnostic note
+    # so the record says "environment down", not "bench broken".
     import threading
 
-    def _fire():
-        print(json.dumps({
-            "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
-            "value": None, "unit": "samples/sec/chip", "vs_baseline": None,
-            "metrics": {}, "note": ("watchdog: a device call exceeded the hard "
-                                    "deadline — TPU tunnel unavailable/wedged; "
-                                    "see PERFORMANCE.md for the last measured "
-                                    "values")}), flush=True)
-        os._exit(3)
+    done = threading.Event()
+    last_progress = [time.perf_counter()]
+    hard_deadline = float(os.environ.get("BENCH_HARD_DEADLINE_S", "900"))
 
-    hard_deadline = float(os.environ.get("BENCH_HARD_DEADLINE_S",
-                                         max(budget * 2.5, budget + 600)))
-    watchdog = threading.Timer(hard_deadline, _fire)
-    watchdog.daemon = True
-    watchdog.start()
+    def _watch():
+        while not done.wait(min(15.0, hard_deadline / 4)):
+            if time.perf_counter() - last_progress[0] > hard_deadline:
+                print(json.dumps({
+                    "metric":
+                        "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
+                    "value": None, "unit": "samples/sec/chip",
+                    "vs_baseline": None, "metrics": {},
+                    "note": (f"watchdog: no metric completed in "
+                             f"{hard_deadline:.0f}s — TPU tunnel unavailable/"
+                             "wedged; see PERFORMANCE.md for the last "
+                             "measured values")}), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
 
     def timed(fn, *args, required=False):
         elapsed = time.perf_counter() - t_start
@@ -517,12 +524,14 @@ def main() -> None:
             out = fn(*args)
         except Exception as err:
             print(f"{fn.__name__} failed: {err}", file=sys.stderr)
+            last_progress[0] = time.perf_counter()  # failure is progress too
             return None
         # per-metric timing to stderr: a >60 s entry means the graph compiled
         # cold (cache miss) — the round-2 driver run lost 5/6 metrics this way
         print(f"{fn.__name__}{args or ''}: {out:.1f} "
               f"in {time.perf_counter() - t0:.1f}s "
               f"(t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr)
+        last_progress[0] = time.perf_counter()
         return out
 
     train_bf16 = timed(measure_train_step, "bfloat16", required=True)
@@ -569,7 +578,7 @@ def main() -> None:
         "reference_baseline": {k: round(v, 1) for k, v in base.items()
                                if isinstance(v, (int, float))},
     }))
-    watchdog.cancel()
+    done.set()
 
 
 if __name__ == "__main__":

@@ -211,7 +211,13 @@ def run(cfg: ConfigNode) -> float | None:
     # loads with a "could lead to execution errors such as SIGILL" warning and
     # can kill the process (observed: 2-process CPU run dying silently in
     # generate()); CPU compiles are cheap anyway.
-    if str(cfg.select("trainer.accelerator", "tpu")) != "cpu":
+    # the ACTUAL platform wins over the config: a `launch --platform cpu`
+    # run pins CPU via MSLA_PLATFORM while trainer.accelerator may still
+    # read "tpu" — keying the gate off the config alone would re-enable
+    # the hazard on exactly the documented multi-process CPU command
+    platform = os.environ.get("MSLA_PLATFORM") or str(
+        cfg.select("trainer.accelerator", "tpu"))
+    if platform != "cpu":
         try:
             import jax
 

@@ -64,7 +64,11 @@ class DataLoader:
         if self.process_count > 1:
             total = self._local_len() * self.process_count
             if total > len(order):  # wrap-pad so every rank gets equal length
-                order = np.concatenate([order, order[:total - len(order)]])
+                # tile, don't slice once: a dataset SMALLER than the process
+                # count needs more than one wrap, and a short pad would starve
+                # trailing ranks of batches — they would never enter the
+                # collective the fed ranks are blocked in (lockstep hang)
+                order = np.tile(order, -(-total // len(order)))[:total]
             order = order[self.process_index::self.process_count]
         batches = []
         for start in range(0, len(order), self.batch_size):

@@ -633,23 +633,15 @@ class Trainer:
         outputs = []
         pending = None  # consume one behind the async transfer (double buffer)
 
+        nproc = jax.process_count()
+        row_counts: list[int] = []
+
         def consume(rows, dev_batch):
             out = predict_fn(self._state.params, dev_batch)
-            if rows < bucket:
-                nproc = jax.process_count()
-                if nproc > 1:
-                    # the global batch concatenates per-process local shards
-                    # in process order — each rank's real rows sit at its
-                    # block offset, so [:rows] would keep only rank 0's
-                    def true_rows(o):
-                        return jnp.concatenate(
-                            [o[p * bucket:p * bucket + rows]
-                             for p in range(nproc)])
-
-                    out = jax.tree.map(true_rows, out)
-                else:
-                    out = jax.tree.map(lambda o: o[:rows], out)
-            outputs.append(out)
+            if nproc == 1 and rows < bucket:
+                out = jax.tree.map(lambda o: o[:rows], out)
+            row_counts.append(rows)
+            outputs.append(out)  # multi-process: still padded — fixed below
 
         for item in padded(loader):
             if pending is not None:
@@ -657,14 +649,26 @@ class Trainer:
             pending = item
         if pending is not None:
             consume(*pending)
-        if jax.process_count() > 1:
+        if nproc > 1:
             # Predict outputs are global arrays sharded across processes — a
             # host-side consumer (visualize/generate, rank-0-gated) could not
-            # fetch them. Allgather COLLECTIVELY (every rank calls predict, so
-            # every rank participates) so each rank returns host-usable rows.
+            # fetch them. Allgather ONCE, collectively (every rank calls
+            # predict, so every rank participates), then drop pad rows and
+            # restore loader order in numpy: the global batch concatenates
+            # per-process local shards, so rank r's j-th real row is loader
+            # position j*nproc + r — a plain [:rows] or block-concat would
+            # return predictions permuted relative to the dataloader.
             from msla_tpu.parallel.mesh import gather_cross_host
 
             outputs = gather_cross_host(outputs)
+
+            def reorder(rows):
+                idx = np.array([p * bucket + j
+                                for j in range(rows) for p in range(nproc)])
+                return lambda o: np.asarray(o)[idx]
+
+            outputs = [jax.tree.map(reorder(rows), out)
+                       for rows, out in zip(row_counts, outputs)]
         return outputs
 
     @property

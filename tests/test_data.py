@@ -274,3 +274,17 @@ def test_datamodule_wires_process_info(fixture_root, monkeypatch):
                dm.test_dataloader(), dm.predict_dataloader()):
         assert (ld.process_index, ld.process_count) == (1, 2)
     assert len(dm.train_dataloader()) == 2  # 15 examples -> 8 local -> 2 full
+
+
+def test_loader_distributed_tiny_dataset_keeps_lockstep():
+    """A dataset SMALLER than the process count must still give every rank
+    the same number of batches (wrap-pad tiles, it doesn't slice once) — a
+    starved rank would never enter the collective the fed ranks block in."""
+    for n, world in ((1, 3), (3, 8), (2, 5)):
+        loaders = [DataLoader(_IdxDataset(n), batch_size=1, shuffle=True,
+                              seed=5, process_index=r, process_count=world)
+                   for r in range(world)]
+        per_rank = [_fed(ld) for ld in loaders]
+        assert all(len(p) == len(per_rank[0]) == len(loaders[0])
+                   for p in per_rank)
+        assert set(np.concatenate(per_rank).tolist()) == set(range(n))

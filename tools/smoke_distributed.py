@@ -184,9 +184,13 @@ def worker(process_id: int, out_dir: str) -> None:
     pdata = (rng.standard_normal((8, 4, 256)) * 0.3).astype(np.float32)
 
     class _PredictDM:
+        def __init__(self, batch_size):
+            self.batch_size = batch_size
+
         def predict_dataloader(self):
-            return DataLoader(list(pdata), batch_size=1, shuffle=False,
-                              drop_last=False, process_index=r, process_count=c)
+            return DataLoader(list(pdata), batch_size=self.batch_size,
+                              shuffle=False, drop_last=False,
+                              process_index=r, process_count=c)
 
         def on_after_batch_transfer(self, batch):
             import jax.numpy as jnp
@@ -194,14 +198,26 @@ def worker(process_id: int, out_dir: str) -> None:
             mix = jnp.sum(batch, axis=1, keepdims=True)
             return jnp.broadcast_to(mix, batch.shape), batch
 
-    trainer = Trainer(default_root_dir=out_dir, accelerator="cpu",
-                      enable_progress_bar=False, log_every_n_steps=0)
-    outs = trainer.predict(task, _PredictDM())
-    got = np.concatenate([np.asarray(o) for o in outs])
-    assert got.shape == (8, 4, 256), got.shape
-    assert np.isfinite(got).all()
+    # batch_size=2 is the ordering-sensitive case: rank r's j-th real row is
+    # loader position j*nproc+r, so a block-concat (instead of the interleave
+    # re-slice) would return predictions permuted vs the dataloader
+    for bs in (1, 2):
+        dm_p = _PredictDM(bs)
+        trainer = Trainer(default_root_dir=out_dir, accelerator="cpu",
+                          enable_progress_bar=False, log_every_n_steps=0)
+        outs = trainer.predict(task, dm_p)
+        got = np.concatenate([np.asarray(o) for o in outs])
+        assert got.shape == (8, 4, 256), got.shape
+        assert np.isfinite(got).all()
+        # in-order reference: the same params through the same transform
+        want = np.concatenate([np.asarray(task.predict_step(
+            trainer.state.params,
+            dm_p.on_after_batch_transfer(jnp.asarray(pdata[k:k + 1]))))
+            for k in range(8)])
+        _np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        print(f"[rank {process_id}] multi-process predict OK (bs={bs}): "
+              f"{got.shape}, dataloader order verified", flush=True)
     _np.save(os.path.join(out_dir, f"predict_rank{process_id}.npy"), got)
-    print(f"[rank {process_id}] multi-process predict OK: {got.shape}", flush=True)
 
     jax.distributed.shutdown()
 
