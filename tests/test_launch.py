@@ -41,3 +41,37 @@ def test_launcher_two_process(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "[rank 0] rank=0 global=8 main=True" in proc.stdout
     assert "[rank 1] rank=1 global=8 main=False" in proc.stdout
+
+
+def test_launcher_two_nodes(tmp_path):
+    """The multi-HOST contract: one launcher invocation per node with
+    --nnodes/--node-rank and a shared --coordinator (the torchrun
+    --node_rank/--master_addr shape). Two single-process 'nodes' on localhost
+    must form one global runtime with correct rank offsets."""
+    import socket
+
+    script = tmp_path / "probe.py"
+    script.write_text(SCRIPT)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f]
+    env = {**os.environ, "PYTHONPATH": f"{REPO}:/root/.axon_site",
+           "XLA_FLAGS": " ".join(
+               kept + ["--xla_force_host_platform_device_count=4"])}
+
+    def node(rank):
+        return subprocess.Popen(
+            [sys.executable, "-m", "msla_tpu.parallel.launch",
+             "--nproc", "1", "--nnodes", "2", "--node-rank", str(rank),
+             "--coordinator", f"localhost:{port}", "--platform", "cpu",
+             "--", str(script)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=REPO)
+
+    nodes = [node(0), node(1)]
+    outs = [p.communicate(timeout=300)[0] for p in nodes]
+    assert all(p.returncode == 0 for p in nodes), "\n".join(outs)
+    assert "[rank 0] rank=0 global=8 main=True" in outs[0]
+    assert "[rank 1] rank=1 global=8 main=False" in outs[1]
