@@ -116,3 +116,24 @@ def get_metric_value(metric_dict: dict, metric_name: str | None) -> float | None
     value = float(metric_dict[metric_name])
     log.info(f"Retrieved metric value! <{metric_name}={value}>")
     return value
+
+
+def machine_scoped_cpu_cache_dir(base: str = "/root/.cache/jax_msla_cpu") -> str:
+    """Persistent-compile-cache dir scoped to THIS machine's CPU features.
+
+    XLA:CPU cache entries are AOT machine code and the cache key
+    under-captures host CPU features — an entry compiled on a different
+    machine loads with a "could lead to execution errors such as SIGILL"
+    warning and can kill the process. Scoping the dir by a cpuinfo-flags
+    fingerprint makes cross-machine reuse structurally impossible while
+    keeping same-machine reuse (tests, dryruns) fast."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+    except OSError:  # pragma: no cover - non-Linux fallback
+        import platform
+
+        flags = platform.processor()
+    return f"{base}_{hashlib.sha1(flags.encode()).hexdigest()[:12]}"

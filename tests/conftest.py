@@ -19,6 +19,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache, scoped to this machine's CPU fingerprint (foreign
+# XLA:CPU AOT entries can SIGILL — see machine_scoped_cpu_cache_dir). The
+# suite jits hundreds of train/eval graphs; warm runs skip those compiles.
+from msla_tpu.utils.util import machine_scoped_cpu_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", machine_scoped_cpu_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
