@@ -34,11 +34,28 @@ sys.path.insert(0, str(REPO))
 def _enable_compile_cache():
     """Persistent XLA compilation cache: the five measured graphs cost
     ~10 min of (remote) compiles through the axon tunnel; cached runs finish
-    in well under a minute. Call BEFORE any jit."""
+    in well under a minute. Call BEFORE any jit.
+
+    Also honors `JAX_PLATFORMS=cpu` here: the axon sitecustomize force-selects
+    the TPU platform via jax.config at interpreter start, so the env var alone
+    does NOT switch a bench run to CPU — reset it through the config before
+    any backend initializes (and, on CPU, scope the cache per machine: foreign
+    XLA:CPU AOT entries can SIGILL)."""
+    import os
+
     import jax
 
+    cache_dir = "/root/.cache/jax_msla"
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        from msla_tpu.utils.util import machine_scoped_cpu_cache_dir
+
+        cache_dir = machine_scoped_cpu_cache_dir()
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax / read-only fs — compile uncached
