@@ -490,112 +490,188 @@ def measure_torch_reference() -> dict:
     return result
 
 
-def main() -> None:
-    _enable_compile_cache()
-    # Remote (tunnel) compiles dominate: ~10 min for all five graphs. Measure
-    # headline-first under a wall-clock budget so a driver-side timeout still
-    # gets a complete JSON line with the most important metrics; skipped
-    # metrics report null. Override with BENCH_BUDGET_S.
-    import os
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    t_start = time.perf_counter()
+# Metric catalog: (result key, measure fn, args, baseline cache key). Shared
+# by the measuring loop and the watchdog's partial-record emitter so a record
+# is printable at ANY point, with nulls for whatever hasn't completed yet.
+METRICS = (
+    ("vqvae_train_step_samples_per_sec_bf16", measure_train_step, ("bfloat16",),
+     "train_step_samples_per_sec"),
+    ("vqvae_separation_samples_per_sec", measure_separation, (),
+     "separation_samples_per_sec"),
+    ("bert_train_codes_per_sec", measure_bert_codes, (),
+     "bert_train_codes_per_sec"),
+    ("vqvae_encode_vq_samples_per_sec", measure_encode_vq, (),
+     "encode_vq_samples_per_sec"),
+    ("transformer_codes_per_sec", measure_transformer_codes, (),
+     "transformer_codes_per_sec"),
+    ("transformer_train_codes_per_sec", measure_transformer_train, (),
+     "transformer_train_codes_per_sec"),
+    ("vqvae_train_step_samples_per_sec_fp32", measure_train_step, (None,),
+     "train_step_samples_per_sec"),
+)
+HEADLINE = "vqvae_train_step_samples_per_sec_bf16"
 
-    # Progress watchdog: the per-metric budget checks only run BETWEEN
-    # metrics. A device call that never returns (observed: the axon tunnel
-    # wedging on a stale claim — the first jnp op blocks forever) would
-    # otherwise produce NO JSON at all when the driver's own timeout kills the
-    # process. Fires only when NO metric has completed for hard_deadline
-    # seconds — total wall-clock would false-positive on a legitimately slow
-    # fully-cold-cache run (7 graphs x ~130 s remote compiles) and discard the
-    # metrics that DID finish. Emits a null-metric line with a diagnostic note
-    # so the record says "environment down", not "bench broken".
-    import threading
 
-    done = threading.Event()
-    last_progress = [time.perf_counter()]
-    hard_deadline = float(os.environ.get("BENCH_HARD_DEADLINE_S", "900"))
+def _emit_record(values: dict, base: dict, note: str | None) -> None:
+    """Assemble + print THE one JSON line from whatever has completed.
 
-    def _watch():
-        while not done.wait(min(15.0, hard_deadline / 4)):
-            if time.perf_counter() - last_progress[0] > hard_deadline:
-                print(json.dumps({
-                    "metric":
-                        "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
-                    "value": None, "unit": "samples/sec/chip",
-                    "vs_baseline": None, "metrics": {},
-                    "note": (f"watchdog: no metric completed in "
-                             f"{hard_deadline:.0f}s — TPU tunnel unavailable/"
-                             "wedged; see PERFORMANCE.md for the last "
-                             "measured values")}), flush=True)
-                os._exit(3)
-
-    threading.Thread(target=_watch, daemon=True).start()
-
-    def timed(fn, *args, required=False):
-        elapsed = time.perf_counter() - t_start
-        if not required and elapsed > budget:
-            print(f"bench budget spent — skipping {fn.__name__}", file=sys.stderr)
-            return None
-        t0 = time.perf_counter()
-        try:
-            out = fn(*args)
-        except Exception as err:
-            print(f"{fn.__name__} failed: {err}", file=sys.stderr)
-            last_progress[0] = time.perf_counter()  # failure is progress too
-            return None
-        # per-metric timing to stderr: a >60 s entry means the graph compiled
-        # cold (cache miss) — the round-2 driver run lost 5/6 metrics this way
-        print(f"{fn.__name__}{args or ''}: {out:.1f} "
-              f"in {time.perf_counter() - t0:.1f}s "
-              f"(t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr)
-        last_progress[0] = time.perf_counter()
-        return out
-
-    train_bf16 = timed(measure_train_step, "bfloat16", required=True)
-    separation = timed(measure_separation, required=True)
-    bert = timed(measure_bert_codes)
-    encode = timed(measure_encode_vq)
-    transformer = timed(measure_transformer_codes)
-    transformer_train = timed(measure_transformer_train)
-    train_fp32 = timed(measure_train_step, None)
-    base = measure_torch_reference()
-
+    Callable from the watchdog thread mid-run: `values` holds only finished
+    metrics; everything else reports null so the driver record stays
+    well-formed and names the stalled phase instead of going silent."""
     def vs(value, key):
         ref = base.get(key)
         if value is None or not isinstance(ref, (int, float)) or ref <= 0:
             return None
         return round(value / ref, 2)
 
-    def entry(value, key):
-        return {"value": round(value, 1) if value is not None else None,
-                "vs_baseline": vs(value, key)}
-
-    metrics = {
-        "vqvae_train_step_samples_per_sec_bf16":
-            entry(train_bf16, "train_step_samples_per_sec"),
-        "vqvae_train_step_samples_per_sec_fp32":
-            entry(train_fp32, "train_step_samples_per_sec"),
-        "vqvae_separation_samples_per_sec":
-            entry(separation, "separation_samples_per_sec"),
-        "vqvae_encode_vq_samples_per_sec":
-            entry(encode, "encode_vq_samples_per_sec"),
-        "transformer_codes_per_sec":
-            entry(transformer, "transformer_codes_per_sec"),
-        "transformer_train_codes_per_sec":
-            entry(transformer_train, "transformer_train_codes_per_sec"),
-        "bert_train_codes_per_sec":
-            entry(bert, "bert_train_codes_per_sec"),
-    }
-    print(json.dumps({
+    metrics = {}
+    for key, _fn, _args, base_key in METRICS:
+        v = values.get(key)
+        metrics[key] = {"value": round(v, 1) if v is not None else None,
+                        "vs_baseline": vs(v, base_key)}
+    head = values.get(HEADLINE)
+    record = {
         "metric": "Slakh waveform samples/sec/chip (VQVAE train step, bf16)",
-        "value": round(train_bf16, 1) if train_bf16 is not None else None,
+        "value": round(head, 1) if head is not None else None,
         "unit": "samples/sec/chip",
-        "vs_baseline": vs(train_bf16, "train_step_samples_per_sec"),
+        "vs_baseline": vs(head, "train_step_samples_per_sec"),
         "metrics": metrics,
         "reference_baseline": {k: round(v, 1) for k, v in base.items()
                                if isinstance(v, (int, float))},
-    }))
-    done.set()
+    }
+    if note:
+        record["note"] = note
+    print(json.dumps(record), flush=True)
+
+
+def _cache_preflight(cache_dir: str) -> bool:
+    """Log persistent-cache state; returns True when it looks warm. The round-2
+    driver run lost 5/6 metrics to cold remote compiles (~130 s/graph) and the
+    round-3 review got silence from a wedged tunnel — knowing warm-vs-cold up
+    front picks the right per-phase deadline and leaves a diagnosable trail."""
+    import os
+    try:
+        entries = os.listdir(cache_dir)
+        size = sum(os.path.getsize(os.path.join(cache_dir, e)) for e in entries)
+        warm = len(entries) >= 7
+        label = "warm" if warm else "COLD: expect ~130s remote compile/graph"
+        print(f"cache preflight: {cache_dir} — {len(entries)} entries, "
+              f"{size / 1e6:.0f} MB ({label})", file=sys.stderr, flush=True)
+        return warm
+    except OSError as err:
+        print(f"cache preflight: {cache_dir} unreadable ({err}) — treating as "
+              "cold", file=sys.stderr, flush=True)
+        return False
+
+
+def main() -> None:
+    import os
+    import threading
+
+    t_start = time.perf_counter()
+
+    # ---- phase-aware watchdog (VERDICT r3 next-step #1) ---------------------
+    # The round-2 design only checked budgets BETWEEN metrics and only fired
+    # after 900 s of no progress — the driver/judge kill at ~460-590 s, so a
+    # hang in backend init or the first device op produced exactly the silence
+    # BENCH_r03 never recovered from. This one (a) tracks a named phase with a
+    # per-phase deadline on a separate thread, (b) emits a PARTIAL record
+    # (completed metrics kept, stalled phase named) the moment any phase blows
+    # its deadline, and (c) enforces a total wall deadline under the driver's
+    # observed kill window.
+    state = {"phase": "startup", "deadline": time.perf_counter() + 60.0,
+             "values": {}, "base": {}, "done": False}
+    lock = threading.Lock()
+    wall_deadline = t_start + float(os.environ.get("BENCH_WALL_S", "420"))
+
+    def phase(name: str, seconds: float) -> None:
+        with lock:
+            state["phase"] = name
+            state["deadline"] = time.perf_counter() + seconds
+        print(f"phase: {name} (deadline {seconds:.0f}s, "
+              f"t+{time.perf_counter() - t_start:.0f}s)",
+              file=sys.stderr, flush=True)
+
+    def _watch():
+        while True:
+            time.sleep(2.0)
+            with lock:
+                if state["done"]:
+                    return
+                now = time.perf_counter()
+                stalled = now > state["deadline"]
+                over_wall = now > wall_deadline
+                if not (stalled or over_wall):
+                    continue
+                why = (f"watchdog: phase '{state['phase']}' "
+                       + ("exceeded its deadline"
+                          if stalled else "cut off at the wall deadline")
+                       + f" at t+{now - t_start:.0f}s — "
+                       "completed metrics kept, the rest null; a stalled "
+                       "backend-init/first-op phase means the axon TPU tunnel "
+                       "is wedged/unavailable (see PERFORMANCE.md for last "
+                       "measured values)")
+                values, base = dict(state["values"]), dict(state["base"])
+            _emit_record(values, base, why)
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+    # Torch baseline first: CPU-only + cached, so even a wedged-tunnel record
+    # carries the reference numbers.
+    phase("torch-baseline", 120)
+    base = measure_torch_reference()
+    with lock:
+        state["base"] = base
+
+    # Backend init + first device op under a tight deadline: the observed
+    # wedge mode blocks exactly here, forever. <2 min to a null record.
+    phase("backend-init+canary", float(os.environ.get("BENCH_CANARY_S", "110")))
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    cache_dir = (getattr(jax.config, "jax_compilation_cache_dir", None)
+                 or "/root/.cache/jax_msla")
+    dev = jax.devices()[0]
+    float(jnp.arange(8.0).sum())  # first device op — the canonical hang point
+    print(f"canary ok on {dev.platform}:{dev.device_kind} "
+          f"(t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr,
+          flush=True)
+
+    warm = _cache_preflight(cache_dir)
+    per_metric_s = float(os.environ.get(
+        "BENCH_PHASE_S", "150" if warm else "400"))
+    # stop STARTING metrics a phase-width before the wall so the one in
+    # flight can finish and the normal-path emit still happens pre-wall
+    budget = float(os.environ.get(
+        "BENCH_BUDGET_S", str(max(60.0, wall_deadline - t_start - 90.0))))
+
+    for key, fn, args, _base_key in METRICS:
+        if time.perf_counter() - t_start > budget:
+            print(f"bench budget spent — skipping {key}", file=sys.stderr,
+                  flush=True)
+            continue
+        phase(key, per_metric_s)
+        t0 = time.perf_counter()
+        try:
+            out = fn(*args)
+        except Exception as err:
+            print(f"{key} failed: {err}", file=sys.stderr, flush=True)
+            continue
+        # >60 s here with a warm preflight = a cache miss on this graph
+        print(f"{key}: {out:.1f} in {time.perf_counter() - t0:.1f}s "
+              f"({'hit' if time.perf_counter() - t0 < 60 else 'MISS'}, "
+              f"t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr,
+              flush=True)
+        with lock:
+            state["values"][key] = out
+
+    with lock:
+        state["done"] = True
+        values = dict(state["values"])
+    missing = [k for k, *_ in METRICS if k not in values]
+    _emit_record(values, base,
+                 f"skipped (budget/failure): {missing}" if missing else None)
 
 
 if __name__ == "__main__":

@@ -204,27 +204,37 @@ def generate(cfg: ConfigNode) -> None:
 
 def run(cfg: ConfigNode) -> float | None:
     """One composed-config run (the body of @hydra.main — reference: main.py:215-236)."""
-    # Persistent XLA compile cache, for NON-cpu runs only: full TPU train-step
-    # compiles cost minutes through the axon tunnel, seconds when cached. CPU
-    # runs are excluded deliberately — XLA:CPU cache entries are AOT machine
-    # code keyed loosely enough that an entry compiled on a different host
-    # loads with a "could lead to execution errors such as SIGILL" warning and
-    # can kill the process (observed: 2-process CPU run dying silently in
-    # generate()); CPU compiles are cheap anyway.
-    # the ACTUAL platform wins over the config: a `launch --platform cpu`
-    # run pins CPU via MSLA_PLATFORM while trainer.accelerator may still
-    # read "tpu" — keying the gate off the config alone would re-enable
-    # the hazard on exactly the documented multi-process CPU command
-    platform = os.environ.get("MSLA_PLATFORM") or str(
-        cfg.select("trainer.accelerator", "tpu"))
-    if platform != "cpu":
-        try:
-            import jax
+    # Persistent XLA compile cache: full TPU train-step compiles cost minutes
+    # through the axon tunnel, seconds when cached. XLA:CPU cache entries are
+    # AOT machine code keyed loosely enough that an entry compiled on a
+    # different host loads with a "could lead to execution errors such as
+    # SIGILL" warning and can kill the process (observed: 2-process CPU run
+    # dying silently in generate()) — so CPU runs get a machine-scoped dir
+    # while the TPU shares /root/.cache/jax_msla.
+    # The ACTUAL platform wins over the config: a `launch --platform cpu` run
+    # pins CPU via MSLA_PLATFORM while trainer.accelerator may still read
+    # "tpu". A cpu intent must pin the platform BEFORE the backend query below
+    # (the query claims the single-client tunnel otherwise); a non-cpu intent
+    # is about to claim the chip anyway, so the query is free — and keying the
+    # dir off the RESOLVED backend keeps `accelerator: auto` on a CPU-only
+    # host out of the shared TPU dir.
+    try:
+        import jax
 
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_msla")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+        intent = os.environ.get("MSLA_PLATFORM") or str(
+            cfg.select("trainer.accelerator", "tpu"))
+        if intent == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        if intent == "cpu" or jax.default_backend() == "cpu":
+            from msla_tpu.utils.util import machine_scoped_cpu_cache_dir
+
+            cache_dir = machine_scoped_cpu_cache_dir()
+        else:
+            cache_dir = "/root/.cache/jax_msla"
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     extras(cfg)
     if cfg.get("seed") is not None:
         seed_everything(int(cfg.seed))

@@ -252,7 +252,6 @@ def gather_cross_host(tree):
 
 _recorded_rank: int | None = None
 _recorded_count: int | None = None
-_warned_env_fallback = False
 
 
 def record_process_rank(rank: int | None = None, count: int | None = None) -> int:
@@ -294,8 +293,10 @@ def is_main_process() -> bool:
        calling it cold would claim the single-client axon TPU tunnel from a
        mere artifact-write guard (the CLAUDE.md backend-claim trap);
     3. the JAX_PROCESS_INDEX env var, defaulting to the single-process
-       answer — warning once if multi-host coordination hints are present
-       (an every-rank-is-main answer would race artifact writes).
+       answer — RAISING if multi-host coordination hints are present without
+       a rank var (an every-rank-is-main answer would race artifact writes;
+       the launcher always sets JAX_PROCESS_ID, so this only fires on
+       genuinely broken launches).
     """
     if _recorded_rank is not None:
         return _recorded_rank == 0
@@ -328,14 +329,12 @@ def is_main_process() -> bool:
             return int(os.environ[var]) == 0
     hints = [k for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES")
              if os.environ.get(k)]
-    global _warned_env_fallback
-    if hints and not _warned_env_fallback:
-        _warned_env_fallback = True
-        import logging
-
-        logging.getLogger(__name__).warning(
+    if hints:
+        # Coordination hints without a rank var is a broken launch (the
+        # launcher always sets JAX_PROCESS_ID): answering True on every rank
+        # would race artifact writes across hosts, so fail loudly instead.
+        raise RuntimeError(
             "is_main_process called before backend init on what looks like a "
-            "multi-host launch (%s set) — answering True on every rank; call "
-            "setup_distributed() first or set JAX_PROCESS_ID",
-            ",".join(hints))
+            f"multi-host launch ({','.join(hints)} set) but no rank is known "
+            "— call setup_distributed() first or set JAX_PROCESS_ID")
     return True

@@ -662,6 +662,21 @@ class Trainer:
 
             outputs = gather_cross_host(outputs)
 
+            # The stride index below assumes the global batch concatenates
+            # per-process shards rank-major, which holds only when the mesh's
+            # data axis enumerates devices process-major (make_mesh consumes
+            # jax.devices() in that order). Verify rather than assume: a
+            # future custom device order would silently permute predictions.
+            data_axis = self.mesh.axis_names.index("data")
+            dev_grid = np.moveaxis(self.mesh.devices, data_axis, 0)
+            proc_per_row = [{d.process_index for d in row.flat}
+                            for row in dev_grid]
+            per_proc = len(proc_per_row) // nproc
+            assert all(
+                row == {i // per_proc} for i, row in enumerate(proc_per_row)
+            ), ("mesh data axis is not process-major — predict reorder would "
+                f"permute outputs (axis owners: {proc_per_row})")
+
             def reorder(rows):
                 idx = np.array([p * bucket + j
                                 for j in range(rows) for p in range(nproc)])

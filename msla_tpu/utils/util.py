@@ -126,14 +126,23 @@ def machine_scoped_cpu_cache_dir(base: str = "/root/.cache/jax_msla_cpu") -> str
     machine loads with a "could lead to execution errors such as SIGILL"
     warning and can kill the process. Scoping the dir by a cpuinfo-flags
     fingerprint makes cross-machine reuse structurally impossible while
-    keeping same-machine reuse (tests, dryruns) fast."""
+    keeping same-machine reuse (tests, dryruns) fast.
+
+    The fingerprint covers the model name as well as the flags line: LLVM
+    derives tuning features (e.g. prefer-no-scatter/gather on Sapphire
+    Rapids) from the CPU *model*, so two hosts with identical cpuinfo flags
+    can still produce mutually incompatible AOT entries (observed: warning
+    spam + SIGILL risk from a flags-only fingerprint)."""
     import hashlib
 
     try:
         with open("/proc/cpuinfo") as fh:
-            flags = next((ln for ln in fh if ln.startswith("flags")), "")
+            lines = [ln for ln in fh
+                     if ln.startswith(("flags", "model name", "model\t",
+                                       "cpu family", "stepping"))]
+        ident = "".join(sorted(set(lines)))
     except OSError:  # pragma: no cover - non-Linux fallback
         import platform
 
-        flags = platform.processor()
-    return f"{base}_{hashlib.sha1(flags.encode()).hexdigest()[:12]}"
+        ident = platform.processor()
+    return f"{base}_{hashlib.sha1(ident.encode()).hexdigest()[:12]}"

@@ -424,12 +424,13 @@ def test_is_main_process_without_backend(monkeypatch):
     monkeypatch.setenv("JAX_PROCESS_ID", "1")  # jax.distributed's env spelling
     assert mesh_mod.is_main_process() is False
     monkeypatch.delenv("JAX_PROCESS_ID")
-    # multi-host hints without any rank info → True (single-process default)
-    # with a one-time warning
-    monkeypatch.setattr(mesh_mod, "_warned_env_fallback", False)
+    # multi-host hints without any rank info = a broken launch: an
+    # every-rank-is-main answer would race artifact writes, so it raises
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
-    assert mesh_mod.is_main_process() is True
-    assert mesh_mod._warned_env_fallback is True
+    with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+        mesh_mod.is_main_process()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    assert mesh_mod.is_main_process() is True  # no hints → single-process
     assert not consulted  # jax.process_index() never touched without a backend
 
 
