@@ -20,21 +20,57 @@ import os
 log = logging.getLogger(__name__)
 
 
+def detect_pod_env(env=None) -> dict | None:
+    """Recognize a multi-host launch from the environment; returns the kwargs
+    for `jax.distributed.initialize`, or None for a single-host run.
+
+    Pure function over an env mapping so pod detection is unit-testable with
+    stubbed env vars (no backend touched). Recognized, in priority order:
+
+    1. Explicit JAX_* vars (our launcher, torchrun-style schedulers):
+       JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID →
+       explicit kwargs.
+    2. Cloud TPU pod slices: the TPU runtime populates TPU_WORKER_HOSTNAMES
+       (comma-separated) + TPU_WORKER_ID on every worker — more than one
+       hostname means a pod, and `initialize()` with NO arguments lets JAX's
+       first-party cluster detection fill in the coordinator (reference
+       equivalent: Lightning's `num_nodes` DDP config,
+       configs/hparams_search/optuna.yaml:13-15).
+    3. GKE TPU workloads: MEGASCALE_COORDINATOR_ADDRESS → auto-detect ({}).
+    """
+    env = os.environ if env is None else env
+    coordinator = env.get("JAX_COORDINATOR_ADDRESS")
+    num = env.get("JAX_NUM_PROCESSES")
+    pid = env.get("JAX_PROCESS_ID")
+    if coordinator or (num and int(num) > 1):
+        return {"coordinator_address": coordinator,
+                "num_processes": int(num) if num else None,
+                "process_id": int(pid) if pid is not None and pid != "" else None}
+    hostnames = [h for h in env.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    if len(hostnames) > 1:
+        return {}  # TPU pod: JAX auto-detects coordinator/rank from the runtime
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return {}
+    return None
+
+
 def setup_distributed(coordinator_address: str | None = None,
                       num_processes: int | None = None,
                       process_id: int | None = None) -> bool:
     """Initialize the multi-host JAX runtime; returns True if distributed.
 
     Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
-    JAX_NUM_PROCESSES, JAX_PROCESS_ID) or scheduler auto-detection (TPU pods
-    populate these automatically).
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID) or scheduler auto-detection — TPU
+    pods are recognized from the runtime's own env (see detect_pod_env).
     """
-    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    num_processes = num_processes or _int_env("JAX_NUM_PROCESSES")
-    process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
-
-    if num_processes in (None, 1) and coordinator_address is None:
-        return False
+    if coordinator_address or (num_processes and num_processes > 1):
+        kwargs = {"coordinator_address": coordinator_address,
+                  "num_processes": num_processes, "process_id": process_id}
+    else:
+        detected = detect_pod_env()
+        if detected is None:
+            return False
+        kwargs = detected
 
     import jax
 
@@ -48,9 +84,7 @@ def setup_distributed(coordinator_address: str | None = None,
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    jax.distributed.initialize(**kwargs)
     from msla_tpu.parallel.mesh import record_process_rank
 
     record_process_rank()  # rank known via public API from here on
@@ -58,8 +92,3 @@ def setup_distributed(coordinator_address: str | None = None,
              jax.process_index(), jax.process_count(),
              jax.local_device_count(), jax.device_count())
     return True
-
-
-def _int_env(name: str) -> int | None:
-    value = os.environ.get(name)
-    return int(value) if value else None

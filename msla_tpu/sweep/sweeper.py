@@ -35,6 +35,53 @@ class TPESweeper:
         self.sampler = sampler or TPESampler()
         self.study_name = study_name
         self.observations: list[tuple[dict, float]] = []
+        # `storage` plays optuna's study-persistence role
+        # (reference configs/hparams_search/optuna.yaml:19-22): a JSONL trial
+        # journal. Completed trials are appended as they finish and reloaded
+        # on the next sweep with the same storage+study_name — they count
+        # toward n_trials and seed the TPE sampler, so an interrupted sweep
+        # resumes instead of restarting. Optuna RDB URLs are out of scope:
+        # anything that is not a plain filesystem path fails loudly rather
+        # than being silently ignored.
+        self.storage = self._resolve_storage(storage)
+
+    @staticmethod
+    def _resolve_storage(storage):
+        if storage is None:
+            return None
+        s = str(storage)
+        if "://" in s:
+            raise ValueError(
+                f"storage={s!r}: RDB URLs are not supported — pass a "
+                "filesystem path for the JSONL trial journal (or null)")
+        from pathlib import Path
+
+        return Path(s)
+
+    def _load_journal(self) -> list[dict]:
+        """Completed-trial records for THIS study from the storage journal."""
+        if self.storage is None or not self.storage.exists():
+            return []
+        study = self.study_name or "sweep"
+        records = []
+        with open(self.storage) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("study", "sweep") == study:
+                    records.append(rec)
+        return records
+
+    def _append_journal(self, trial: int, params: dict, value: float) -> None:
+        if self.storage is None:
+            return
+        self.storage.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.storage, "a") as fh:
+            fh.write(json.dumps({"study": self.study_name or "sweep",
+                                 "trial": trial, "params": params,
+                                 "value": value}) + "\n")
 
     def _signed(self, value: float) -> float:
         return value if self.direction == "minimize" else -value
@@ -43,7 +90,17 @@ class TPESweeper:
                  run_fn: Callable) -> dict:
         best = {"value": math.inf, "params": None, "trial": None}
         sweep_dir = None
-        for trial in range(self.n_trials):
+        resumed = self._load_journal()
+        for rec in resumed:  # journal trials seed TPE and count toward n_trials
+            signed = self._signed(float(rec["value"]))
+            self.observations.append((rec["params"], signed))
+            if signed < best["value"]:
+                best = {"value": signed, "params": rec["params"],
+                        "trial": rec["trial"]}
+        if resumed:
+            log.info("Resumed %d completed trial(s) from %s (study=%s)",
+                     len(resumed), self.storage, self.study_name or "sweep")
+        for trial in range(len(resumed), self.n_trials):
             sampled = self.sampler.sample(self.space, self.observations)
             trial_overrides = [f"{k}={v}" for k, v in sampled.items()]
             cfg = compose(config_dir, config_name, base_overrides + trial_overrides)
@@ -69,6 +126,7 @@ class TPESweeper:
                 best = {"value": self._signed(float(value)), "params": sampled, "trial": trial}
             with open(run_dir / "trial_result.json", "w") as f:
                 json.dump({"trial": trial, "params": sampled, "value": float(value)}, f)
+            self._append_journal(trial, sampled, float(value))
 
         result = {
             "name": self.study_name or "sweep",
