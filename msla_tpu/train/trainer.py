@@ -199,7 +199,12 @@ class Trainer:
                         callbacks_state=[
                             {"class": type(cb).__name__, "state": cb.state_dict()}
                             for cb in self.callbacks],
-                        background=background)
+                        background=background,
+                        # frozen subtrees (e.g. Audio-BERT's detached encoder)
+                        # dedup to one sidecar per dir — fetched+written once
+                        # per run instead of twice per epoch
+                        frozen_keys=tuple(getattr(self._model,
+                                                  "frozen_param_keys", ())))
 
     def _restore(self, ckpt_path) -> None:
         payload = load_checkpoint(ckpt_path)

