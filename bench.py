@@ -625,15 +625,28 @@ def main() -> None:
         state["base"] = base
 
     # Backend init + first device op under a tight deadline: the observed
-    # wedge mode blocks exactly here, forever. <2 min to a null record.
+    # wedge mode blocks exactly here (forever), OR raises UNAVAILABLE after
+    # many minutes (observed: "Unable to initialize backend 'axon'") — a
+    # RAISED failure must produce the same null record as a hang, so the
+    # canary is exception-guarded too. <2 min to a record either way.
     phase("backend-init+canary", float(os.environ.get("BENCH_CANARY_S", "110")))
-    _enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
-    cache_dir = (getattr(jax.config, "jax_compilation_cache_dir", None)
-                 or "/root/.cache/jax_msla")
-    dev = jax.devices()[0]
-    float(jnp.arange(8.0).sum())  # first device op — the canonical hang point
+    try:
+        _enable_compile_cache()
+        import jax
+        import jax.numpy as jnp
+        cache_dir = (getattr(jax.config, "jax_compilation_cache_dir", None)
+                     or "/root/.cache/jax_msla")
+        dev = jax.devices()[0]
+        float(jnp.arange(8.0).sum())  # first device op — canonical hang point
+    except Exception as err:
+        with lock:
+            state["done"] = True
+        _emit_record({}, base,
+                     f"backend-init failed ({type(err).__name__}: {err}) at "
+                     f"t+{time.perf_counter() - t_start:.0f}s — the axon TPU "
+                     "tunnel is unavailable; all metrics null (see "
+                     "PERFORMANCE.md for last measured values)")
+        raise SystemExit(2)
     print(f"canary ok on {dev.platform}:{dev.device_kind} "
           f"(t+{time.perf_counter() - t_start:.0f}s)", file=sys.stderr,
           flush=True)
