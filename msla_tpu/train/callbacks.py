@@ -71,6 +71,13 @@ class ModelCheckpoint(Callback):
                 "best_model_score": self.best_model_score}
 
     def load_state_dict(self, state: dict) -> None:
+        # join in-flight background writes to the referenced files first —
+        # versioned best saves are backgrounded, so a same-process restore
+        # must not mistake a queued write for a missing file
+        from msla_tpu.train.checkpoint import wait_for_pending
+
+        for _, p in state.get("best", []):
+            wait_for_pending(str(p))
         # drop heap entries whose files no longer exist (e.g. copied ckpt)
         self._best = [(float(s), str(p)) for s, p in state.get("best", [])
                       if os.path.exists(str(p))]
@@ -112,24 +119,30 @@ class ModelCheckpoint(Callback):
             return
         # top-k entries live in versioned files; the canonical
         # <filename>.ckpt is always (a copy of) the current best, so the
-        # cross-stage hard-coded paths keep working.
+        # cross-stage hard-coded paths keep working. The versioned write is
+        # backgrounded too (it is the OTHER multi-GB serialize of an improving
+        # epoch) — the canonical hardlink is queued behind it on the ordered
+        # write worker, so best_*.ckpt never points at a half-written file.
+        from msla_tpu.train.checkpoint import link_after_pending, wait_for_pending
+
         path = str(self.dirpath / f"{self.filename}-v{self._version}.ckpt")
         self._version += 1
-        trainer.save_checkpoint(path, weights_only=self.save_weights_only)
+        trainer.save_checkpoint(path, weights_only=self.save_weights_only,
+                                background=True)
         self._best.append((score, path))
         self._best.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
         if self.save_top_k > 0:  # negative keeps everything
             while len(self._best) > self.save_top_k:
                 _, drop = self._best.pop()
-                if main and os.path.exists(drop):
-                    os.remove(drop)
+                if main:
+                    wait_for_pending(drop)  # an in-flight write would resurrect it
+                    if os.path.exists(drop):
+                        os.remove(drop)
 
         canonical = str(self.dirpath / f"{self.filename}.ckpt")
         best_score, best_path = self._best[0]
         if main:
-            if os.path.exists(canonical):
-                os.remove(canonical)
-            os.link(best_path, canonical)  # hardlink: no extra copy on disk
+            link_after_pending(best_path, canonical)
         self.best_model_path = canonical
         self.best_model_score = best_score
         if self.verbose and main:

@@ -203,6 +203,31 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         _write(_build_payload(params, opt_state))
 
 
+def link_after_pending(src: str | Path, dst: str | Path) -> None:
+    """Queue `dst := hardlink(src)` behind any in-flight write to `src`.
+
+    The single write-worker runs jobs in submission order, so a canonical
+    best-link submitted after its versioned file's background write lands
+    only once that file is complete — ModelCheckpoint can background the
+    multi-GB best save without the cross-stage `best_*.ckpt` path ever
+    pointing at a half-written file."""
+    import os
+
+    src, dst = Path(src), Path(dst)
+
+    def _link():
+        if dst.exists():
+            os.remove(dst)
+        os.link(src, dst)
+
+    with _lock:
+        pending_src = _path_key(src) in _pending
+    if pending_src:
+        _submit(_path_key(dst), _link)
+    else:
+        _link()
+
+
 def load_checkpoint(path: str | Path) -> dict:
     path = Path(path)
     wait_for_pending(path)  # an in-flight background write to this file
