@@ -312,3 +312,33 @@ def test_bert_head_training_trajectory_parity():
         np.asarray(params["linear"]["dense"]["kernel"]),
         linear_kernel(t_lin.weight.detach()), rtol=1e-3, atol=1e-5)
     assert t_losses[-1] < t_losses[0]
+
+
+def test_quality_parity_harness_smoke(tmp_path):
+    """The long-horizon harness (tools/quality_parity.py) runs end-to-end:
+    both frameworks train under the independently-applied EarlyStopping rule,
+    the per-epoch table is emitted, and the lockstep EARLY regime tracks.
+    Tiny env knobs keep this a machinery smoke — the full-horizon PASS is the
+    committed artifact examples/quality_parity.log."""
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, MSLA_QP_EPOCHS="3", MSLA_QP_PATIENCE="1",
+               MSLA_QP_LOG=str(tmp_path / "qp.log"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "quality_parity.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    out = proc.stdout
+    assert proc.returncode in (0, 1), proc.stderr[-2000:]
+    assert "verdict:" in out, out + proc.stderr[-2000:]
+    assert (tmp_path / "qp.log").exists()
+    # three per-epoch rows, both sides populated
+    rows = [ln for ln in out.splitlines()
+            if re.match(r"\s+\d+\s+\d+\.\d+\s+\d+\.\d+", ln)]
+    assert len(rows) >= 2, out
+    m = re.search(r"early \(first 10 ep\) perplexity rel delta: ([0-9.e+-]+)",
+                  out)
+    assert m, out
+    assert float(m.group(1)) < 0.15, out
