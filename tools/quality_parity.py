@@ -66,9 +66,21 @@ LR = float(os.environ.get("MSLA_QP_LR", "1e-3"))  # 10x the reference default:
 # degenerate horizon); at 1e-3 it spikes once, recovers, genuinely improves
 # for tens of epochs and then plateaus — the trajectory the early-stop rule
 # is meant for
+JAX_DTYPE = os.environ.get("MSLA_QP_JAX_DTYPE") or None  # e.g. "bfloat16":
+# train AND validate the jax side at the headline bench's compute dtype
+# (torch stays fp32) — quality-at-speed evidence for the bf16 config. Mixed
+# precision changes the STE trajectory early, so the bf16 profile drops the
+# lockstep early-tracking criterion (reported, not gated) and loosens the
+# endpoint tolerances; the claim under test is "the bf16 config converges to
+# the same quality and stops on a similar plateau", not bitwise tracking.
+BF16 = JAX_DTYPE not in (None, "float32")
 HP = dict(num_hidden=32, num_residual_layer=2, num_residual_hidden=16,
           num_embedding=64, embedding_dim=16, commitment_cost=0.25)
 BATCH, T_LEN, SR = 8, 2048, 2000
+# (stop delta, l1/l2 rel, si-sdr abs dB, si-sdr rel, early perp, early use,
+#  end perp, end use) per profile
+TOL = ((3, 5e-2, 0.5, 0.05, 0.15, 8, 0.10, 8) if not BF16
+       else (10, 1.5e-1, 1.0, 0.10, None, None, 0.25, 16))
 INSTRUMENTS = ("bass", "drums", "guitar", "piano")
 
 
@@ -171,7 +183,7 @@ def main() -> int:
 
     task = VQVAETask(**HP, learning_rate=LR, sample_rate=SR,
                      checkpoint_dir="/tmp/qp", codebook_file="/tmp/qp/cb.csv",
-                     use_pallas=False)
+                     use_pallas=False, compute_dtype=JAX_DTYPE)
     params = vqvae_params_from_torch(tmod.state_dict(),
                                      num_residual_layer=HP["num_residual_layer"])
     params = jax.tree.map(lambda t: jnp.array(np.array(t, copy=True)), params)
@@ -281,7 +293,8 @@ def main() -> int:
         f"(monitor validation/loss, patience {PATIENCE}, min_delta {MIN_DELTA})",
         f"date: {time.strftime('%Y-%m-%d %H:%M:%S')}",
         f"model: {HP} | batch {BATCH} x T {T_LEN} @ {SR} Hz | lr {LR} | "
-        f"{STEPS_PER_EPOCH} steps/epoch, max {MAX_EPOCHS} epochs",
+        f"{STEPS_PER_EPOCH} steps/epoch, max {MAX_EPOCHS} epochs | "
+        f"jax compute dtype {JAX_DTYPE or 'float32'} (torch fp32)",
         "",
         f"{'ep':>3}{'val torch':>12}{'val jax':>12}{'perp torch':>12}"
         f"{'perp jax':>12}{'use torch':>10}{'use jax':>9}",
@@ -311,7 +324,7 @@ def main() -> int:
     for k in t_cat:
         d = abs(t_cat[k] - j_cat[k])
         if k.startswith("si_sdr"):
-            tol = max(0.5, 0.05 * max(abs(t_cat[k]), abs(j_cat[k])))
+            tol = max(TOL[2], TOL[3] * max(abs(t_cat[k]), abs(j_cat[k])))
             worst_db_excess = max(worst_db_excess, d - tol)
         else:
             worst_rel = max(worst_rel, d / max(abs(t_cat[k]), abs(j_cat[k]), 1e-9))
@@ -319,9 +332,13 @@ def main() -> int:
     stop_delta = (abs(t_stop.stopped_epoch - j_stop.stopped_epoch)
                   if t_stop.stopped_epoch is not None
                   and j_stop.stopped_epoch is not None else 999)
-    ok = (stop_delta <= 3 and worst_rel < 5e-2 and worst_db_excess < 0.0
-          and early_perp_rel < 0.15 and early_use_abs <= 8
-          and end_perp_rel < 0.10 and end_use_abs <= 8)
+    early_ok = (True if TOL[4] is None
+                else early_perp_rel < TOL[4] and early_use_abs <= TOL[5])
+    ok = (stop_delta <= TOL[0] and worst_rel < TOL[1]
+          and worst_db_excess < 0.0 and early_ok
+          and end_perp_rel < TOL[6] and end_use_abs <= TOL[7])
+    early_gate = ("reported only (bf16 profile)" if TOL[4] is None
+                  else f"< {TOL[4]:g} / usage <= {TOL[5]}")
     lines += ["",
               f"stop-epoch delta: {stop_delta} | worst relative l1/l2 delta: "
               f"{worst_rel:.2e} | worst SI-SDR tolerance excess: "
@@ -331,9 +348,10 @@ def main() -> int:
               f"endpoint perplexity rel delta: {end_perp_rel:.2e} | "
               f"usage delta: {end_use_abs} codes",
               f"verdict: {'PASS' if ok else 'FAIL'} (both stops fire, delta "
-              "<= 3; l1/l2 < 5e-2 rel; SI-SDR within max(0.5 dB, 5%); early "
-              "perplexity < 0.15 / usage <= 8; endpoint perplexity < 0.10 / "
-              "usage <= 8)"]
+              f"<= {TOL[0]}; l1/l2 < {TOL[1]:g} rel; SI-SDR within "
+              f"max({TOL[2]:g} dB, {TOL[3]:.0%}); early perplexity "
+              f"{early_gate}; endpoint perplexity < {TOL[6]:g} / usage <= "
+              f"{TOL[7]})"]
     report = "\n".join(lines) + "\n"
     sys.stdout.write(report)
     log_path = os.environ.get("MSLA_QP_LOG", REPO / "examples" / "quality_parity.log")
