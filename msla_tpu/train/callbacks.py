@@ -48,7 +48,8 @@ class ModelCheckpoint(Callback):
                  mode: str = "min", auto_insert_metric_name: bool = True,
                  save_weights_only: bool = False, every_n_train_steps=None,
                  train_time_interval=None, every_n_epochs=None,
-                 save_on_train_epoch_end=None):
+                 save_on_train_epoch_end=None, wire: str | None = None,
+                 wire_best: bool = False):
         self.dirpath = Path(dirpath)
         self.filename = filename
         self.monitor = monitor
@@ -57,6 +58,13 @@ class ModelCheckpoint(Callback):
         self.save_top_k = save_top_k
         self.mode = mode
         self.save_weights_only = save_weights_only
+        # wire ('bf16'/'q8'): on-device downcast of the fetched state for
+        # last.ckpt — crash-resume checkpoints tolerate the approximation and
+        # the device→host fetch dominates the inter-epoch stall on remote-
+        # relay hosts. Best/versioned saves stay exact unless wire_best=True
+        # (they feed cross-stage handoff and reverse export).
+        self.wire = wire
+        self.wire_best = wire_best
         # (auto_insert_metric_name / every_n_* accepted for config parity; the
         # reference never sets them to non-defaults)
         self._best: list[tuple[float, str]] = []  # [(score, versioned path)] best-first
@@ -113,7 +121,7 @@ class ModelCheckpoint(Callback):
             # the next epoch; fit() joins pending writes before returning
             trainer.save_checkpoint(self.dirpath / "last.ckpt",
                                     weights_only=self.save_weights_only,
-                                    background=True)
+                                    background=True, wire=self.wire)
 
         if math.isnan(score) or not self._qualifies(score):
             return
@@ -128,7 +136,8 @@ class ModelCheckpoint(Callback):
         path = str(self.dirpath / f"{self.filename}-v{self._version}.ckpt")
         self._version += 1
         trainer.save_checkpoint(path, weights_only=self.save_weights_only,
-                                background=True)
+                                background=True,
+                                wire=self.wire if self.wire_best else None)
         self._best.append((score, path))
         self._best.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
         if self.save_top_k > 0:  # negative keeps everything

@@ -80,7 +80,10 @@ def _to_numpy_tree(tree: Any) -> Any:
     # first — through the axon tunnel a leaf-by-leaf fetch of BERT's ~200
     # params pays a relay round-trip each, minutes per checkpoint save.
     tree = serialization.to_state_dict(tree)
-    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    # wire-marker leaves carry str/int metadata — keep those as-is
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray))
+        else x, jax.device_get(tree))
 
 
 def _try_device_snapshot(tree: Any):
@@ -120,6 +123,122 @@ def _try_device_snapshot(tree: Any):
         return None
 
 
+# Wire compression: the inter-epoch stall on a remote-relay TPU host is the
+# synchronous device→host fetch of the multi-GB train state (measured
+# single-digit MB/s through the axon tunnel — PERFORMANCE.md "Checkpoint-write
+# overlap"). Downcasting ON DEVICE before the fetch cuts both the wire bytes
+# and the disk bytes: "bf16" halves floats; "q8" block-quantizes to int8 with
+# one fp32 scale per 1024 elements (~3.9×, max per-element relative error
+# 1/254 within a block). Opt-in (default saves stay bitwise-exact): crash
+# resume from a wired last.ckpt restores an approximation of params/moments —
+# standard 8-bit-optimizer-grade fidelity, applied only at resume points.
+_Q8_BLOCK = 1024
+_WIRE_MIN_ELEMS = 16384  # below ~64 KB the savings don't cover the overhead
+WIRE_KEY = "__wire__"
+
+
+def _parse_wire(spec: str | None) -> tuple[str | None, str | None]:
+    """'bf16' → both bf16; 'q8' → params bf16 + moments q8 (the production
+    combo: weights keep bf16 fidelity, Adam mu/nu tolerate q8); explicit
+    'params=q8,opt=q8' syntax overrides either side ('off' disables one)."""
+    if not spec:
+        return None, None
+    spec = spec.strip()
+    aliases = {"bf16": ("bf16", "bf16"), "bfloat16": ("bf16", "bf16"),
+               "q8": ("bf16", "q8")}
+    if "=" not in spec:
+        if spec not in aliases:
+            raise ValueError(f"unknown checkpoint wire spec {spec!r} — use "
+                             "'bf16', 'q8', or 'params=...,opt=...'")
+        return aliases[spec]
+    out: dict[str, str | None] = {"params": None, "opt": None}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k, v = k.strip(), v.strip()
+        if k not in out or v not in ("bf16", "q8", "off"):
+            raise ValueError(f"bad wire spec component {part!r}")
+        out[k] = None if v == "off" else v
+    return out["params"], out["opt"]
+
+
+@jax.jit
+def _q8_encode_dev(x):
+    flat = x.astype(jnp.float32).ravel()
+    pad = (-flat.size) % _Q8_BLOCK
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, _Q8_BLOCK)
+    scale = jnp.max(jnp.abs(blocks), axis=1) / 127.0
+    q = jnp.round(blocks / jnp.maximum(scale, 1e-30)[:, None]).astype(jnp.int8)
+    return q, scale
+
+
+@jax.jit
+def _bf16_encode_dev(x):
+    return x.astype(jnp.bfloat16)
+
+
+def _np_dtype(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _wire_encode_leaf(x, codec: str):
+    if not (hasattr(x, "dtype") and hasattr(x, "size")):
+        return x
+    if not jnp.issubdtype(x.dtype, jnp.floating) or x.size < _WIRE_MIN_ELEMS:
+        return x  # ints/bools/small leaves ride exact — no meaningful win
+    # shape rides as an ndarray: flax to_state_dict rewrites python lists
+    # into string-keyed dicts, which would scramble the dimension order
+    meta = {WIRE_KEY: codec, "dtype": str(x.dtype),
+            "shape": np.asarray(x.shape, dtype=np.int64)}
+    on_dev = isinstance(x, jax.Array)
+    if codec == "bf16":
+        if x.dtype == jnp.bfloat16:
+            return x  # already half-width — nothing to shave
+        v = _bf16_encode_dev(x) if on_dev else np.asarray(x).astype(jnp.bfloat16)
+        return {**meta, "v": v}
+    if on_dev:
+        q, s = _q8_encode_dev(x)
+    else:  # host/numpy leaf (e.g. a snapshot already fetched)
+        flat = np.asarray(x, dtype=np.float32).ravel()
+        flat = np.pad(flat, (0, (-flat.size) % _Q8_BLOCK))
+        blocks = flat.reshape(-1, _Q8_BLOCK)
+        s = np.max(np.abs(blocks), axis=1) / 127.0
+        q = np.round(blocks / np.maximum(s, 1e-30)[:, None]).astype(np.int8)
+    return {**meta, "q": q, "s": s}
+
+
+def _wire_encode_tree(tree: Any, codec: str | None) -> Any:
+    if codec is None:
+        return tree
+    return jax.tree_util.tree_map(lambda x: _wire_encode_leaf(x, codec), tree)
+
+
+def _wire_decode_leaf(node: dict):
+    dtype = _np_dtype(node["dtype"])
+    shape = tuple(int(d) for d in node["shape"])
+    if node[WIRE_KEY] == "bf16":
+        return np.asarray(node["v"]).astype(np.float32).astype(dtype)
+    q = np.asarray(node["q"], dtype=np.float32)
+    s = np.asarray(node["s"], dtype=np.float32)
+    flat = (q * s[:, None]).ravel()
+    return flat[:int(np.prod(shape, dtype=np.int64))].reshape(shape).astype(dtype)
+
+
+def _wire_decode_tree(node):
+    if isinstance(node, dict):
+        if node.get(WIRE_KEY) in ("bf16", "q8"):
+            return _wire_decode_leaf(node)
+        return {k: _wire_decode_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_wire_decode_tree(v) for v in node]
+    return node
+
+
 # Frozen-subtree dedup: sidecar files already written by THIS process, so the
 # frozen 440 MB BERT encoder is fetched/serialized once per run, not twice per
 # epoch (VERDICT r3 weak #5: the per-epoch checkpoint stall re-saved params
@@ -150,11 +269,17 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     callback_metrics: dict | None = None,
                     callbacks_state: list | None = None,
                     background: bool = False,
-                    frozen_keys: tuple = ()) -> None:
+                    frozen_keys: tuple = (),
+                    wire: str | None = None) -> None:
     # join any in-flight write to this file FIRST — both to keep writes
     # ordered and so at most one multi-GB host payload is resident at a time
+    import os
+
     path = Path(path)
     wait_for_pending(path)
+    if wire is None:  # blunt global opt-in for tools/bench runs
+        wire = os.environ.get("MSLA_CKPT_WIRE") or None
+    wire_params, wire_opt = _parse_wire(wire)
     meta = {
         "epoch": epoch,
         "global_step": global_step,
@@ -176,6 +301,15 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         params = {k: v for k, v in params.items() if k not in frozen_keys}
         meta["frozen_file"] = _save_frozen_sidecar(path.parent, frozen)
         meta["frozen_keys"] = json.dumps(list(frozen_keys))
+
+    # Wire compression AFTER the frozen split (the once-per-run sidecar stays
+    # bitwise-exact) and BEFORE the fetch — the downcast runs on device, so
+    # the device→host copy moves the small representation.
+    if wire_params or wire_opt:
+        meta["wire"] = wire
+        params = _wire_encode_tree(params, wire_params)
+        if opt_state is not None:
+            opt_state = _wire_encode_tree(opt_state, wire_opt)
 
     def _build_payload(p, o):
         return {"state_dict": _to_numpy_tree(p),
@@ -234,6 +368,11 @@ def load_checkpoint(path: str | Path) -> dict:
     payload = serialization.msgpack_restore(path.read_bytes())
     payload["hparams"] = json.loads(payload.get("hparams") or "{}")
     payload["callbacks"] = json.loads(payload.get("callbacks") or "[]")
+    if payload.pop("wire", None):
+        # transparently re-expand wire-compressed leaves to their original
+        # dtype/shape — callers never see the compressed representation
+        payload["state_dict"] = _wire_decode_tree(payload["state_dict"])
+        payload["opt_state"] = _wire_decode_tree(payload.get("opt_state") or {})
     frozen_file = payload.pop("frozen_file", None)
     if frozen_file:
         # reassemble the frozen subtrees from the directory's shared sidecar

@@ -171,13 +171,15 @@ class Trainer:
 
     # ---- checkpoint plumbing -------------------------------------------------
     def save_checkpoint(self, path, weights_only: bool = False,
-                        background: bool = False) -> None:
+                        background: bool = False,
+                        wire: str | None = None) -> None:
         """weights_only=True skips the optimizer state (Lightning's
         `save_weights_only`) — for Audio-BERT that halves a 3.3 GB
         checkpoint (the 242 M-param reconstruction head's Adam mu/nu).
         background=True overlaps the serialize+write with subsequent epochs
         (the device→host fetch stays synchronous); fit() joins all pending
-        writes before returning."""
+        writes before returning. wire ('bf16'/'q8') downcasts on device
+        before the fetch — see train/checkpoint.py wire compression."""
         assert self._state is not None and self._model is not None
         # multi-host with cross-host shardings (tp params, zero1 moments):
         # leaves are not fully addressable from one process — gather them
@@ -200,6 +202,7 @@ class Trainer:
                             {"class": type(cb).__name__, "state": cb.state_dict()}
                             for cb in self.callbacks],
                         background=background,
+                        wire=wire,
                         # frozen subtrees (e.g. Audio-BERT's detached encoder)
                         # dedup to one sidecar per dir — fetched+written once
                         # per run instead of twice per epoch

@@ -570,3 +570,133 @@ def test_frozen_dedup_through_trainer_fit(tmp_path):
                        default_root_dir=str(tmp_path))
     trainer2.fit(task, _IndexDM(), ckpt_path=str(ckdir / "best_bert.ckpt"))
     assert trainer2.global_step > trainer.global_step
+
+
+def test_checkpoint_wire_codecs():
+    """Wire compression codecs: spec parsing, q8 per-block error bound,
+    bf16 exact-downcast equivalence, small/int leaf passthrough."""
+    import jax.numpy as jnp
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    assert ckpt_mod._parse_wire(None) == (None, None)
+    assert ckpt_mod._parse_wire("bf16") == ("bf16", "bf16")
+    assert ckpt_mod._parse_wire("q8") == ("bf16", "q8")
+    assert ckpt_mod._parse_wire("params=q8,opt=off") == ("q8", None)
+    with pytest.raises(ValueError):
+        ckpt_mod._parse_wire("zstd")
+    with pytest.raises(ValueError):
+        ckpt_mod._parse_wire("params=fp4")
+
+    rng = np.random.default_rng(0)
+    # wide per-block dynamic range — the per-1024-block scales must adapt
+    x = (rng.standard_normal((32, 2048)).astype(np.float32)
+         * np.exp(rng.uniform(-6, 6, (32, 1))).astype(np.float32))
+
+    enc = ckpt_mod._wire_encode_leaf(jnp.asarray(x), "q8")
+    assert enc[ckpt_mod.WIRE_KEY] == "q8"
+    dec = ckpt_mod._wire_decode_leaf(
+        {k: (np.asarray(v) if hasattr(v, "dtype") else v)
+         for k, v in enc.items()})
+    assert dec.dtype == np.float32 and dec.shape == x.shape
+    blocks = x.ravel().reshape(-1, ckpt_mod._Q8_BLOCK)
+    bound = np.abs(blocks).max(axis=1) / 254.0 + 1e-12  # scale/2 per element
+    err = np.abs((dec.ravel() - x.ravel()).reshape(blocks.shape))
+    assert (err <= bound[:, None] * (1 + 1e-6)).all()
+
+    enc16 = ckpt_mod._wire_encode_leaf(jnp.asarray(x), "bf16")
+    dec16 = ckpt_mod._wire_decode_leaf(
+        {k: (np.asarray(v) if hasattr(v, "dtype") else v)
+         for k, v in enc16.items()})
+    np.testing.assert_array_equal(
+        dec16, np.asarray(x).astype(jnp.bfloat16).astype(np.float32))
+
+    # ints, bools and sub-threshold leaves ride exact
+    small = np.ones(8, np.float32)
+    assert ckpt_mod._wire_encode_leaf(small, "q8") is small
+    ints = np.arange(100000, dtype=np.int32)
+    assert ckpt_mod._wire_encode_leaf(ints, "q8") is ints
+
+
+def test_checkpoint_wire_save_load(tmp_path, monkeypatch):
+    """save_checkpoint(wire=...) stores the compressed representation on
+    disk (and over the device→host wire), load_checkpoint re-expands it
+    transparently; the frozen sidecar stays bitwise-exact."""
+    from flax import serialization as ser
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    monkeypatch.setattr(ckpt_mod, "_WIRE_MIN_ELEMS", 16)
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 64)).astype(np.float32)
+    params = {"frozen_enc": {"w": w * 3}, "head": {"w": w},
+              "step_like": np.array(7, np.int32)}
+    opt = {"mu": {"head": {"w": w * 0.1}}, "nu": {"head": {"w": np.abs(w)}},
+           "count": np.array(3, np.int32)}
+
+    exact, wired = tmp_path / "exact.ckpt", tmp_path / "wired.ckpt"
+    save_checkpoint(exact, params=params, opt_state=opt)
+    save_checkpoint(wired, params=params, opt_state=opt, wire="q8",
+                    frozen_keys=("frozen_enc",))
+
+    raw = ser.msgpack_restore(wired.read_bytes())
+    assert raw["wire"] == "q8"
+    # params ride bf16, moments ride q8 under the 'q8' production combo
+    assert raw["state_dict"]["head"]["w"][ckpt_mod.WIRE_KEY] == "bf16"
+    assert raw["opt_state"]["mu"]["head"]["w"][ckpt_mod.WIRE_KEY] == "q8"
+    assert raw["opt_state"]["mu"]["head"]["w"]["q"].dtype == np.int8
+
+    loaded = load_checkpoint(wired)
+    lp, lo = loaded["state_dict"], loaded["opt_state"]
+    # frozen sidecar is exact even under wire
+    np.testing.assert_array_equal(lp["frozen_enc"]["w"], w * 3)
+    # wired leaves restore original dtype/shape within codec tolerance
+    assert lp["head"]["w"].dtype == np.float32
+    np.testing.assert_allclose(lp["head"]["w"], w, atol=0, rtol=8e-3)
+    np.testing.assert_allclose(lo["nu"]["head"]["w"], np.abs(w), atol=2e-2)
+    # int leaves exact
+    assert int(lp["step_like"]) == 7 and int(lo["count"]) == 3
+
+    # the point of the exercise: fewer bytes on the wire and on disk
+    assert wired.stat().st_size < 0.45 * exact.stat().st_size
+
+    # MSLA_CKPT_WIRE env is the blunt global opt-in when no wire kwarg given
+    monkeypatch.setenv("MSLA_CKPT_WIRE", "bf16")
+    envp = tmp_path / "env.ckpt"
+    save_checkpoint(envp, params={"head": {"w": w}})
+    raw_env = ser.msgpack_restore(envp.read_bytes())
+    assert raw_env["wire"] == "bf16"
+    assert raw_env["state_dict"]["head"]["w"][ckpt_mod.WIRE_KEY] == "bf16"
+
+
+def test_checkpoint_wire_trainer_resume(fixture_root, tmp_path, monkeypatch):
+    """End-to-end: ModelCheckpoint(wire='q8') wires last.ckpt only (best
+    stays exact for cross-stage handoff); resume from the wired last.ckpt
+    trains on with finite loss."""
+    from flax import serialization as ser
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    monkeypatch.setattr(ckpt_mod, "_WIRE_MIN_ELEMS", 1)
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    cb = ModelCheckpoint(dirpath=str(tmp_path / "best"), filename="best_vqvae",
+                         monitor="validation/loss", save_top_k=1, wire="q8")
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, callbacks=[cb],
+                      default_root_dir=str(tmp_path))
+    trainer.fit(task, dm)
+    ckpt_mod.wait_for_pending()
+
+    raw_last = ser.msgpack_restore((tmp_path / "best" / "last.ckpt").read_bytes())
+    assert raw_last.get("wire") == "q8"
+    raw_best = ser.msgpack_restore(
+        (tmp_path / "best" / "best_vqvae.ckpt").read_bytes())
+    assert "wire" not in raw_best
+
+    task2 = make_task(tmp_path)
+    trainer2 = Trainer(max_epochs=2, accelerator="cpu", enable_progress_bar=False,
+                       log_every_n_steps=0, default_root_dir=str(tmp_path))
+    trainer2.fit(task2, dm, ckpt_path=str(tmp_path / "best" / "last.ckpt"))
+    assert trainer2.global_step > trainer.global_step
+    assert np.isfinite(trainer2.callback_metrics["validation/loss"])
