@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import threading
 from concurrent.futures import Future, ThreadPoolExecutor
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -161,8 +162,7 @@ def _parse_wire(spec: str | None) -> tuple[str | None, str | None]:
     return out["params"], out["opt"]
 
 
-@jax.jit
-def _q8_encode_dev(x):
+def _q8_encode_jnp(x):
     flat = x.astype(jnp.float32).ravel()
     pad = (-flat.size) % _Q8_BLOCK
     flat = jnp.pad(flat, (0, pad))
@@ -172,9 +172,15 @@ def _q8_encode_dev(x):
     return q, scale
 
 
-@jax.jit
-def _bf16_encode_dev(x):
-    return x.astype(jnp.bfloat16)
+@partial(jax.jit, static_argnames="codec")
+def _encode_batch_dev(xs: tuple, codec: str) -> tuple:
+    """Encode ALL device leaves in one XLA program. Through the axon relay a
+    per-leaf jit costs one remote execution each (Audio-BERT: ~200) plus one
+    remote compile per distinct shape; batching collapses that to a single
+    dispatch and one compile per (codec, state-structure)."""
+    if codec == "bf16":
+        return tuple(x.astype(jnp.bfloat16) for x in xs)
+    return tuple(_q8_encode_jnp(x) for x in xs)
 
 
 def _np_dtype(name: str) -> np.dtype:
@@ -186,36 +192,63 @@ def _np_dtype(name: str) -> np.dtype:
         return np.dtype(getattr(ml_dtypes, name))
 
 
-def _wire_encode_leaf(x, codec: str):
+def _leaf_encodable(x, codec: str) -> bool:
     if not (hasattr(x, "dtype") and hasattr(x, "size")):
-        return x
+        return False
     if not jnp.issubdtype(x.dtype, jnp.floating) or x.size < _WIRE_MIN_ELEMS:
-        return x  # ints/bools/small leaves ride exact — no meaningful win
+        return False  # ints/bools/small leaves ride exact — no meaningful win
+    if codec == "bf16" and x.dtype == jnp.bfloat16:
+        return False  # already half-width — nothing to shave
+    return True
+
+
+def _wire_meta(x, codec: str) -> dict:
     # shape rides as an ndarray: flax to_state_dict rewrites python lists
     # into string-keyed dicts, which would scramble the dimension order
-    meta = {WIRE_KEY: codec, "dtype": str(x.dtype),
+    return {WIRE_KEY: codec, "dtype": str(x.dtype),
             "shape": np.asarray(x.shape, dtype=np.int64)}
-    on_dev = isinstance(x, jax.Array)
+
+
+def _wrap_encoded(x, codec: str, enc) -> dict:
     if codec == "bf16":
-        if x.dtype == jnp.bfloat16:
-            return x  # already half-width — nothing to shave
-        v = _bf16_encode_dev(x) if on_dev else np.asarray(x).astype(jnp.bfloat16)
-        return {**meta, "v": v}
-    if on_dev:
-        q, s = _q8_encode_dev(x)
-    else:  # host/numpy leaf (e.g. a snapshot already fetched)
-        flat = np.asarray(x, dtype=np.float32).ravel()
-        flat = np.pad(flat, (0, (-flat.size) % _Q8_BLOCK))
-        blocks = flat.reshape(-1, _Q8_BLOCK)
-        s = np.max(np.abs(blocks), axis=1) / 127.0
-        q = np.round(blocks / np.maximum(s, 1e-30)[:, None]).astype(np.int8)
-    return {**meta, "q": q, "s": s}
+        return {**_wire_meta(x, codec), "v": enc}
+    return {**_wire_meta(x, codec), "q": enc[0], "s": enc[1]}
+
+
+def _wire_encode_leaf(x, codec: str):
+    if not _leaf_encodable(x, codec):
+        return x
+    if isinstance(x, jax.Array):
+        (enc,) = _encode_batch_dev((x,), codec)
+        return _wrap_encoded(x, codec, enc)
+    # host/numpy leaf (e.g. a snapshot already fetched)
+    if codec == "bf16":
+        return _wrap_encoded(x, codec, np.asarray(x).astype(jnp.bfloat16))
+    flat = np.asarray(x, dtype=np.float32).ravel()
+    flat = np.pad(flat, (0, (-flat.size) % _Q8_BLOCK))
+    blocks = flat.reshape(-1, _Q8_BLOCK)
+    s = np.max(np.abs(blocks), axis=1) / 127.0
+    q = np.round(blocks / np.maximum(s, 1e-30)[:, None]).astype(np.int8)
+    return _wrap_encoded(x, codec, (q, s))
 
 
 def _wire_encode_tree(tree: Any, codec: str | None) -> Any:
     if codec is None:
         return tree
-    return jax.tree_util.tree_map(lambda x: _wire_encode_leaf(x, codec), tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = list(leaves)
+    # all device leaves ride in ONE jitted encode (one remote dispatch, one
+    # compile per state structure); host leaves take the numpy path
+    dev_idx = [i for i, x in enumerate(leaves)
+               if isinstance(x, jax.Array) and _leaf_encodable(x, codec)]
+    if dev_idx:
+        encoded = _encode_batch_dev(tuple(leaves[i] for i in dev_idx), codec)
+        for i, enc in zip(dev_idx, encoded):
+            out[i] = _wrap_encoded(leaves[i], codec, enc)
+    for i, x in enumerate(leaves):
+        if not isinstance(x, jax.Array):
+            out[i] = _wire_encode_leaf(x, codec)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _wire_decode_leaf(node: dict):
