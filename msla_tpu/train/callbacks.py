@@ -135,9 +135,12 @@ class ModelCheckpoint(Callback):
 
         path = str(self.dirpath / f"{self.filename}-v{self._version}.ckpt")
         self._version += 1
+        # "off" (not None) when wire_best is unset: None would defer to the
+        # blunt MSLA_CKPT_WIRE env opt-in and silently quantize the best
+        # checkpoints that cross-stage handoff relies on staying bitwise-exact
         trainer.save_checkpoint(path, weights_only=self.save_weights_only,
                                 background=True,
-                                wire=self.wire if self.wire_best else None)
+                                wire=self.wire if self.wire_best else "off")
         self._best.append((score, path))
         self._best.sort(key=lambda t: t[0], reverse=(self.mode == "max"))
         if self.save_top_k > 0:  # negative keeps everything

@@ -146,7 +146,12 @@ def _parse_wire(spec: str | None) -> tuple[str | None, str | None]:
         return None, None
     spec = spec.strip()
     aliases = {"bf16": ("bf16", "bf16"), "bfloat16": ("bf16", "bf16"),
-               "q8": ("bf16", "q8")}
+               "q8": ("bf16", "q8"),
+               # explicit exactness: callers (ModelCheckpoint best saves) pass
+               # "off" to pin a save bitwise-exact even when the blunt
+               # MSLA_CKPT_WIRE env opt-in is set — wire=None means "defer to
+               # the env", wire="off" means "this file must stay exact"
+               "off": (None, None), "exact": (None, None)}
     if "=" not in spec:
         if spec not in aliases:
             raise ValueError(f"unknown checkpoint wire spec {spec!r} — use "

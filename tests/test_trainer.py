@@ -700,3 +700,44 @@ def test_checkpoint_wire_trainer_resume(fixture_root, tmp_path, monkeypatch):
     trainer2.fit(task2, dm, ckpt_path=str(tmp_path / "best" / "last.ckpt"))
     assert trainer2.global_step > trainer.global_step
     assert np.isfinite(trainer2.callback_metrics["validation/loss"])
+
+
+def test_checkpoint_wire_env_keeps_best_exact(fixture_root, tmp_path,
+                                              monkeypatch):
+    """The blunt MSLA_CKPT_WIRE env opt-in wires last.ckpt but must NOT leak
+    into the best/versioned saves cross-stage handoff relies on staying
+    bitwise-exact — ModelCheckpoint pins them with wire='off'."""
+    from flax import serialization as ser
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    monkeypatch.setattr(ckpt_mod, "_WIRE_MIN_ELEMS", 1)
+    monkeypatch.setenv("MSLA_CKPT_WIRE", "q8")
+    task = make_task(tmp_path)
+    dm = make_dm(fixture_root)
+    cb = ModelCheckpoint(dirpath=str(tmp_path / "best"), filename="best_vqvae",
+                         monitor="validation/loss", save_top_k=1)
+    trainer = Trainer(max_epochs=1, accelerator="cpu", enable_progress_bar=False,
+                      log_every_n_steps=0, callbacks=[cb],
+                      default_root_dir=str(tmp_path))
+    trainer.fit(task, dm)
+    ckpt_mod.wait_for_pending()
+
+    raw_last = ser.msgpack_restore((tmp_path / "best" / "last.ckpt").read_bytes())
+    assert raw_last.get("wire") == "q8"
+    raw_best = ser.msgpack_restore(
+        (tmp_path / "best" / "best_vqvae.ckpt").read_bytes())
+    assert "wire" not in raw_best
+    # and the exact best round-trips bit-identically to the live params
+    import jax
+    from flax import serialization
+
+    best = ckpt_mod.load_checkpoint(tmp_path / "best" / "best_vqvae.ckpt")
+    live = serialization.to_state_dict(jax.device_get(trainer._state.params))
+    flat_live = {jax.tree_util.keystr(k): v for k, v
+                 in jax.tree_util.tree_flatten_with_path(live)[0]}
+    flat_best = {jax.tree_util.keystr(k): v for k, v
+                 in jax.tree_util.tree_flatten_with_path(best["state_dict"])[0]}
+    assert flat_live.keys() == flat_best.keys()
+    for k, a in flat_live.items():
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(flat_best[k]))
