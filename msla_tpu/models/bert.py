@@ -65,7 +65,7 @@ class AudioBertHead(nn.Module):
 class AudioBertTask(TaskModule):
     # the argmax between BERT and the head detaches the encoder (reference
     # bert.py:67-73) and the codebook is a buffer (bert.py:32) — neither ever
-    # changes, so per-epoch checkpoints dedup them to one frozen.ckpt sidecar
+    # changes, so per-epoch checkpoints dedup them to one content-addressed frozen-<fp>.ckpt sidecar
     # per directory (train/checkpoint.py) instead of re-fetching/serializing
     # ~440 MB twice per epoch through the TPU tunnel
     frozen_param_keys = ("bert", "codebook")

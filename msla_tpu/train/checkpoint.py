@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from flax import serialization
 
@@ -281,24 +282,78 @@ def _wire_decode_tree(node):
 # frozen 440 MB BERT encoder is fetched/serialized once per run, not twice per
 # epoch (VERDICT r3 weak #5: the per-epoch checkpoint stall re-saved params
 # that never change — reference quirk: bert.py argmax detaches the encoder).
+# Sidecars are CONTENT-ADDRESSED (frozen-<fp>.ckpt): the canonical checkpoint
+# dir (paths.best_checkpoint_dir) is shared across runs, and a fixed sidecar
+# name would let a new run's first save overwrite the frozen content that the
+# PREVIOUS run's best_*-v*.ckpt files in the same directory reassemble from —
+# silently corrupting them on load. Differing frozen states now coexist; each
+# checkpoint's meta names the sidecar its content belongs to.
 _frozen_saved: set[str] = set()
-FROZEN_SIDECAR = "frozen.ckpt"
+FROZEN_SIDECAR = "frozen.ckpt"  # legacy name — still honored on load
+
+
+def _checksum_one(x):
+    # three reductions per leaf; the iota-weighted one is position-sensitive,
+    # so permuted-but-equal-sum content fingerprints differently. f32
+    # accumulation is deterministic for identical content on a given backend
+    # (a backend switch just changes the fingerprint → one extra sidecar
+    # write, never a stale reuse)
+    flat = x.astype(jnp.float32).ravel()
+    w = (lax.iota(jnp.float32, flat.size) % 9973.0 + 1.0) / 9973.0
+    return jnp.stack([jnp.sum(flat), jnp.sum(jnp.abs(flat)),
+                      jnp.sum(flat * w)])
+
+
+@jax.jit
+def _checksum_batch_dev(xs: tuple):
+    return jnp.stack([_checksum_one(x) for x in xs])
+
+
+def _frozen_fingerprint(frozen: dict) -> str:
+    """Cheap content fingerprint: tree structure + shapes/dtypes hashed with
+    per-leaf device-side checksums (one jitted reduction, one scalar-vector
+    fetch — reading the 440 MB encoder from HBM costs ms, never the
+    device→host transfer of the content itself)."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(frozen)
+    h = hashlib.sha1(str(treedef).encode())
+    for x in leaves:
+        h.update(str((getattr(x, "shape", ()),
+                      str(getattr(x, "dtype", type(x).__name__)))).encode())
+    arrays = [x for x in leaves if hasattr(x, "dtype")]
+    dev = tuple(x for x in arrays if isinstance(x, jax.Array))
+    if dev:
+        h.update(np.asarray(jax.device_get(_checksum_batch_dev(dev))).tobytes())
+    for x in arrays:
+        if not isinstance(x, jax.Array):
+            v = np.asarray(x, dtype=np.float32).ravel()
+            w = (np.arange(v.size, dtype=np.float32) % 9973.0 + 1.0) / 9973.0
+            h.update(np.stack([v.sum(), np.abs(v).sum(),
+                               (v * w).sum()]).tobytes())
+    return h.hexdigest()[:10]
 
 
 def _save_frozen_sidecar(dirpath: Path, frozen: dict) -> str:
-    """Write the frozen subtree once per (process, directory); returns the
-    sidecar filename recorded in the main checkpoint's meta."""
-    sidecar = dirpath / FROZEN_SIDECAR
+    """Write the frozen subtree once per content; returns the sidecar
+    filename recorded in the main checkpoint's meta."""
+    name = f"frozen-{_frozen_fingerprint(frozen)}.ckpt"
+    sidecar = dirpath / name
     key = _path_key(sidecar)
     if key in _frozen_saved and sidecar.exists():
-        return FROZEN_SIDECAR
+        return name
+    if sidecar.exists():
+        # written by an earlier run — the name encodes the content, so
+        # reusing it can never resurrect a different frozen state
+        _frozen_saved.add(key)
+        return name
     dirpath.mkdir(parents=True, exist_ok=True)
     tmp = sidecar.with_suffix(".ckpt.tmp")
     tmp.write_bytes(serialization.msgpack_serialize(
         {"state_dict": _to_numpy_tree(frozen)}))
     tmp.replace(sidecar)
     _frozen_saved.add(key)
-    return FROZEN_SIDECAR
+    return name
 
 
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
@@ -419,7 +474,7 @@ def load_checkpoint(path: str | Path) -> dict:
             raise FileNotFoundError(
                 f"checkpoint {path} references frozen sidecar {sidecar} "
                 "which is missing — copy checkpoints with their directory's "
-                f"{FROZEN_SIDECAR}")
+                f"{frozen_file} sidecar")
         frozen = serialization.msgpack_restore(sidecar.read_bytes())["state_dict"]
         keys = json.loads(payload.pop("frozen_keys", "[]") or "[]")
         for k in keys:

@@ -455,9 +455,10 @@ def test_is_main_process_recorded_rank(monkeypatch):
 
 def test_frozen_param_dedup_sidecar(tmp_path):
     """frozen_keys dedup (VERDICT r3 weak #5): frozen subtrees go to ONE
-    frozen.ckpt sidecar per directory, written once per process; per-epoch
-    files store only the trainable remainder; load_checkpoint reassembles
-    transparently; a missing sidecar fails loudly."""
+    content-addressed frozen-<fp>.ckpt sidecar per directory, written once
+    per content; per-epoch files store only the trainable remainder;
+    load_checkpoint reassembles transparently; a missing sidecar fails
+    loudly."""
     from flax import serialization
 
     from msla_tpu.train import checkpoint as ckpt_mod
@@ -467,12 +468,12 @@ def test_frozen_param_dedup_sidecar(tmp_path):
               "head": {"k": np.ones(3)}}
     p1 = tmp_path / "best-v0.ckpt"
     save_checkpoint(p1, params=params, frozen_keys=("bert", "codebook"))
-    sidecar = tmp_path / "frozen.ckpt"
-    assert sidecar.exists()
-    # the per-epoch file holds ONLY the trainable remainder
+    # the per-epoch file holds ONLY the trainable remainder + a sidecar name
     raw = serialization.msgpack_restore(p1.read_bytes())
     assert set(raw["state_dict"]) == {"head"}
-    assert raw["frozen_file"] == "frozen.ckpt"
+    assert raw["frozen_file"].startswith("frozen-")
+    sidecar = tmp_path / raw["frozen_file"]
+    assert sidecar.exists()
     # reassembly is transparent and exact
     loaded = load_checkpoint(p1)["state_dict"]
     np.testing.assert_array_equal(loaded["bert"]["w"], params["bert"]["w"])
@@ -497,15 +498,51 @@ def test_frozen_param_dedup_sidecar(tmp_path):
     orphan_dir = tmp_path / "orphan"
     orphan_dir.mkdir()
     (orphan_dir / "best.ckpt").write_bytes(p1.read_bytes())
-    with pytest.raises(FileNotFoundError, match="frozen.ckpt"):
+    with pytest.raises(FileNotFoundError, match="frozen-"):
         load_checkpoint(orphan_dir / "best.ckpt")
 
-    # a fresh process (cleared marker) with an existing sidecar rewrites once
+    # a fresh process (cleared marker) REUSES the content-addressed sidecar
+    # instead of rewriting it — the name proves the content matches
     ckpt_mod._frozen_saved.clear()
     save_checkpoint(tmp_path / "resume.ckpt", params=params,
                     frozen_keys=("bert", "codebook"))
+    assert sidecar.stat().st_mtime_ns == before
     assert load_checkpoint(tmp_path / "resume.ckpt")["state_dict"][
         "codebook"].shape == (8,)
+
+
+def test_frozen_sidecar_survives_cross_run_content_change(tmp_path):
+    """Regression: the canonical checkpoint dir is shared across runs. A new
+    run (fresh process) whose frozen subtree DIFFERS — different seed/init —
+    must not overwrite the sidecar that earlier best_*-v*.ckpt files in the
+    same directory reassemble from. Content-addressed names keep both."""
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    w_run1 = np.full((64, 64), 2.0)
+    w_run2 = np.full((64, 64), 5.0)
+
+    save_checkpoint(tmp_path / "best_bert-v0.ckpt",
+                    params={"bert": {"w": w_run1}, "head": {"k": np.ones(3)}},
+                    frozen_keys=("bert",))
+    ckpt_mod._frozen_saved.clear()  # simulate a new process sharing the dir
+    save_checkpoint(tmp_path / "best_bert-v1.ckpt",
+                    params={"bert": {"w": w_run2}, "head": {"k": np.ones(3)}},
+                    frozen_keys=("bert",))
+
+    assert len(list(tmp_path.glob("frozen-*.ckpt"))) == 2
+    np.testing.assert_array_equal(
+        load_checkpoint(tmp_path / "best_bert-v0.ckpt")["state_dict"]["bert"]["w"],
+        w_run1)
+    np.testing.assert_array_equal(
+        load_checkpoint(tmp_path / "best_bert-v1.ckpt")["state_dict"]["bert"]["w"],
+        w_run2)
+
+    # permuted-but-equal-sum content must fingerprint differently too
+    a = np.array([1.0, 4.0, 2.0, 3.0], np.float32).reshape(2, 2)
+    b = np.array([4.0, 1.0, 3.0, 2.0], np.float32).reshape(2, 2)
+    fp_a = ckpt_mod._frozen_fingerprint({"w": a})
+    fp_b = ckpt_mod._frozen_fingerprint({"w": b})
+    assert fp_a != fp_b
 
 
 def test_frozen_dedup_through_trainer_fit(tmp_path):
@@ -554,7 +591,7 @@ def test_frozen_dedup_through_trainer_fit(tmp_path):
                       enable_progress_bar=False, log_every_n_steps=0,
                       callbacks=[ckpt_cb], default_root_dir=str(tmp_path))
     trainer.fit(task, _IndexDM())
-    assert (ckdir / "frozen.ckpt").exists()
+    assert len(list(ckdir.glob("frozen-*.ckpt"))) == 1
     raw = ser.msgpack_restore((ckdir / "best_bert.ckpt").read_bytes())
     assert "bert" not in raw["state_dict"] and "head" in raw["state_dict"]
     # reassembled restore matches the live training state bit-exactly

@@ -112,8 +112,8 @@ def main() -> int:
             t_total = time.perf_counter() - t0
             times.append((t_sync, t_total))
         size = (d / "last.ckpt").stat().st_size
-        sidecar = d / "frozen.ckpt"
-        side = sidecar.stat().st_size if sidecar.exists() else 0
+        sidecars = list(d.glob("frozen-*.ckpt"))
+        side = sum(s.stat().st_size for s in sidecars)
         rows.append({"profile": name, "first_sync_s": round(times[0][0], 2),
                      "epoch_sync_s": round(times[1][0], 2),
                      "epoch_total_s": round(times[1][1], 2),
