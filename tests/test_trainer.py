@@ -397,6 +397,36 @@ def test_background_checkpoint_write_and_join(tmp_path):
     wait_for_pending()  # idempotent with nothing in flight
 
 
+def test_link_after_pending_orders_behind_write(tmp_path, monkeypatch):
+    """The canonical best-link queued behind an in-flight versioned write
+    must land only AFTER that file is complete — never a half-written (or
+    absent) link target — and a link with nothing pending runs inline."""
+    import os
+    import time
+
+    from flax import serialization as ser
+
+    from msla_tpu.train import checkpoint as ckpt_mod
+
+    orig = ser.msgpack_serialize
+    monkeypatch.setattr(ckpt_mod.serialization, "msgpack_serialize",
+                        lambda payload: (time.sleep(1.0), orig(payload))[1])
+    src, dst = tmp_path / "best-v0.ckpt", tmp_path / "best.ckpt"
+    save_checkpoint(src, params={"w": np.arange(4.0)}, background=True)
+    ckpt_mod.link_after_pending(src, dst)  # write still sleeping in worker
+    assert not dst.exists()  # link is queued, not taken early
+    ckpt_mod.wait_for_pending()
+    assert os.path.samefile(src, dst)
+    np.testing.assert_array_equal(
+        load_checkpoint(dst)["state_dict"]["w"], np.arange(4.0))
+
+    # nothing pending → the (re)link happens inline, replacing the old dst
+    src2 = tmp_path / "best-v1.ckpt"
+    save_checkpoint(src2, params={"w": np.arange(4.0) * 2})
+    ckpt_mod.link_after_pending(src2, dst)
+    assert os.path.samefile(src2, dst) and not os.path.samefile(src, dst)
+
+
 def test_is_main_process_without_backend(monkeypatch):
     """is_main_process must not initialize a jax backend (single-client axon
     tunnel trap); with no backend it answers from the environment."""
