@@ -774,8 +774,11 @@ def main() -> None:
     with lock:
         state["cache"] = dict(_cache_stats(cache_dir) or {},
                               preflight="warm" if warm else "cold")
+    # 200 s warm: a WARM preflight can still hide one missing graph (e.g. a
+    # metric added since the cache was built) whose single remote compile
+    # runs ~130 s — one new graph must not kill the whole record
     per_metric_s = float(os.environ.get(
-        "BENCH_PHASE_S", "150" if warm else "400"))
+        "BENCH_PHASE_S", "200" if warm else "400"))
     # stop STARTING metrics a phase-width before the wall so the one in
     # flight can finish and the normal-path emit still happens pre-wall
     budget = float(os.environ.get(
