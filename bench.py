@@ -575,18 +575,26 @@ METRICS = (
     # budget truncates the catalog (VERDICT r4 weak #6)
     ("vqvae_train_step_samples_per_sec_bf16_b128", measure_train_step,
      ("bfloat16", 128), "train_step_samples_per_sec"),
-    ("vqvae_separation_samples_per_sec", measure_separation, (),
-     "separation_samples_per_sec"),
-    ("bert_train_codes_per_sec", measure_bert_codes, (),
-     "bert_train_codes_per_sec"),
+    # After the two headline train steps, run CHEAPEST-FIRST (measured warm
+    # costs in examples/bench_r5_full.json: encode 2.8s, separation 11.5s,
+    # fp32 12.7s, transformer-train 21s, transformer-fwd 39s, bert 53s): a
+    # slow backend init (stale tunnel claim after a heavyweight run was
+    # measured at ~250s) squeezes the budget, and this order nulls only the
+    # most expensive tail instead of the cheap middle (observed: a fresh-clone
+    # run 9 min after the ckpt-stall bench kept 4/8 under the old order;
+    # this order keeps 6/8 at the same squeeze).
     ("vqvae_encode_vq_samples_per_sec", measure_encode_vq, (),
      "encode_vq_samples_per_sec"),
-    ("transformer_codes_per_sec", measure_transformer_codes, (),
-     "transformer_codes_per_sec"),
-    ("transformer_train_codes_per_sec", measure_transformer_train, (),
-     "transformer_train_codes_per_sec"),
+    ("vqvae_separation_samples_per_sec", measure_separation, (),
+     "separation_samples_per_sec"),
     ("vqvae_train_step_samples_per_sec_fp32", measure_train_step, (None,),
      "train_step_samples_per_sec"),
+    ("transformer_train_codes_per_sec", measure_transformer_train, (),
+     "transformer_train_codes_per_sec"),
+    ("transformer_codes_per_sec", measure_transformer_codes, (),
+     "transformer_codes_per_sec"),
+    ("bert_train_codes_per_sec", measure_bert_codes, (),
+     "bert_train_codes_per_sec"),
 )
 HEADLINE = "vqvae_train_step_samples_per_sec_bf16"
 
@@ -700,8 +708,11 @@ def main() -> None:
                     "touched")
         if phase_name == "backend-init+canary":
             return ("a stalled backend-init/first-op means the axon TPU "
-                    "tunnel is wedged/unavailable (healthy COLD init has "
-                    "measured 130s — see BENCH_CANARY_S)")
+                    "tunnel is wedged/unavailable OR still draining a "
+                    "just-exited client's claim (healthy COLD init has "
+                    "measured 130s; init behind a draining claim ~250s — "
+                    "see BENCH_CANARY_S; a retry a few minutes later "
+                    "usually succeeds)")
         return (f"metric '{phase_name}' stalled mid-measurement — a cold "
                 "remote compile outrunning its deadline, or the tunnel "
                 "dropped mid-run")
@@ -745,10 +756,15 @@ def main() -> None:
     # mode blocks exactly here (forever), OR raises UNAVAILABLE after many
     # minutes (observed: "Unable to initialize backend 'axon'") — a RAISED
     # failure must produce the same null record as a hang, so the canary is
-    # exception-guarded too. Default 240 s: a HEALTHY cold backend init was
-    # measured at 129.9 s (VERDICT r4 weak #2) — the old 110 s default could
-    # watchdog out a successful init.
-    phase("backend-init+canary", float(os.environ.get("BENCH_CANARY_S", "240")))
+    # exception-guarded too. Default 300 s: a HEALTHY cold backend init was
+    # measured at 129.9 s (VERDICT r4 weak #2), but an init behind the
+    # DRAINING claim of a just-exited TPU process measured ~250 s (round 5,
+    # fresh-clone run 9 min after the ckpt-stall bench) and a back-to-back
+    # run exceeded the old 240 s default outright — the draining regime is
+    # healthy, not wedged, and a 300 s canary converts its all-null record
+    # into a headline-bearing one (the budget check after init keeps the
+    # total under the wall either way).
+    phase("backend-init+canary", float(os.environ.get("BENCH_CANARY_S", "300")))
     try:
         _enable_compile_cache()
         import jax
