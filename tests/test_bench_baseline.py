@@ -86,6 +86,27 @@ def test_remeasure_failure_skips_not_kills(monkeypatch, tmp_path):
     assert "skipped" in note
 
 
+def test_catalog_order_is_headline_then_cheapest_first():
+    """Round-5 contract: a backend init behind a draining tunnel claim
+    (~250 s measured) squeezes the per-run budget, so the catalog must put
+    the two headline train steps first and then run cheapest-first (warm
+    costs from examples/bench_r5_full.json) so a squeeze nulls only the
+    expensive tail. A reorder regression silently degrades partial records
+    (observed: 4/8 instead of 6/8 at the same squeeze)."""
+    keys = [key for key, _fn, _args, _base in bench.METRICS]
+    assert keys == [
+        "vqvae_train_step_samples_per_sec_bf16",        # headline
+        "vqvae_train_step_samples_per_sec_bf16_b128",   # headline lever
+        "vqvae_encode_vq_samples_per_sec",              # ~2.8 s warm
+        "vqvae_separation_samples_per_sec",             # ~11.5 s
+        "vqvae_train_step_samples_per_sec_fp32",        # ~12.7 s
+        "transformer_train_codes_per_sec",              # ~21 s
+        "transformer_codes_per_sec",                    # ~39 s
+        "bert_train_codes_per_sec",                     # ~53 s
+    ]
+    assert keys[0] == bench.HEADLINE
+
+
 def test_remeasure_env_forces_subprocess(monkeypatch, tmp_path):
     """BENCH_REMEASURE_BASELINE=1 re-measures even with complete files, and a
     subprocess that lands numbers updates the returned baselines."""
